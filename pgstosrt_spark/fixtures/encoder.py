@@ -1,0 +1,301 @@
+"""Deterministic PGS encoder (the inverse pipeline, pure Python).
+
+Produces byte streams that the reference parser would decode to known
+compositions: glyph-atlas text bitmaps (pgs/glyphs.py), palette quantize,
+PGS RLE encode exercising all five opcodes of the decoder
+(/root/reference/src/PgsToSrt/BluRaySup/BluRaySupParserExtensions.cs:66-134),
+and segment emission matching the layouts read by
+BluRaySupParserImageSharp.cs (§2.2).  Everything is seeded/deterministic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..pgs.glyphs import ADVANCE, GLYPH_H, SPACE_ADVANCE, atlas
+from ..pgs.model import SEG_END, SEG_ODS, SEG_PCS, SEG_PDS, SEG_WDS
+
+__all__ = [
+    "render_text",
+    "make_palette_pds",
+    "rle_encode",
+    "build_display_set",
+    "build_clear_set",
+    "build_sup",
+    "build_sup_from_cues",
+    "CHARSET",
+]
+
+LINE_GAP = 3  # blank rows between text lines (>=1 splits lines in OCR)
+MARGIN = 4  # transparent margin inside the object bitmap
+CHARSET = set(atlas().keys()) | {" ", "\n"}
+
+# ---------------------------------------------------------------- bitmaps
+
+
+def render_text(text: str) -> np.ndarray:
+    """Text -> (h, w) uint8 colour-index bitmap (0 = background, 1 = ink).
+
+    Layout: 5x7 glyphs, 1 blank column between glyphs, a space advances an
+    extra glyph width (>= 4 blank columns, the OCR space threshold),
+    LINE_GAP blank rows between lines, MARGIN transparent border.
+    Characters outside the atlas are rendered as '?'.
+    """
+    font = atlas()
+    lines = text.upper().split("\n")
+    widths = []
+    for line in lines:
+        w = 0
+        for ch in line:
+            w += SPACE_ADVANCE + ADVANCE if ch == " " else ADVANCE
+        widths.append(max(w - 1, 1))  # drop trailing gap
+    height = len(lines) * GLYPH_H + (len(lines) - 1) * LINE_GAP
+    img = np.zeros((height + 2 * MARGIN, max(widths) + 2 * MARGIN), dtype=np.uint8)
+    y = MARGIN
+    for line in lines:
+        x = MARGIN
+        for ch in line:
+            if ch == " ":
+                x += SPACE_ADVANCE + ADVANCE
+                continue
+            glyph = font.get(ch, font["?"])
+            img[y : y + GLYPH_H, x : x + glyph.shape[1]] = glyph
+            x += ADVANCE
+        y += GLYPH_H + LINE_GAP
+    return img
+
+
+# ---------------------------------------------------------------- palette
+
+# Standard 2-colour palette: entry 0 transparent black, entry 1 opaque white
+# (Y=235 full-range white; Cr=Cb=128).
+STD_PALETTE_ENTRIES: list[tuple[int, int, int, int, int]] = [
+    (0, 16, 128, 128, 0),  # (id, Y, Cr, Cb, A)
+    (1, 235, 128, 128, 255),
+]
+
+
+def make_palette_pds(
+    entries: list[tuple[int, int, int, int, int]] | None = None,
+    palette_id: int = 0,
+    version: int = 0,
+) -> bytes:
+    """PDS payload: id(1) version(1) + 5-byte entries (ParsePds layout,
+    BluRaySupParserImageSharp.cs:191-215; entry reads :630-640)."""
+    entries = STD_PALETTE_ENTRIES if entries is None else entries
+    out = bytearray([palette_id, version])
+    for eid, y, cr, cb, a in entries:
+        out.extend([eid, y, cr, cb, a])
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- RLE
+
+_MAX_LONG_RUN = 0x3FFF
+
+
+def rle_encode(img: np.ndarray, force_long: bool = False) -> bytes:
+    """Index bitmap -> PGS RLE bytes (all five opcode forms).
+
+    Per row: runs of colour 0 -> short (0x00, L<0x40) or long
+    (0x00, 0x40|hi, lo); runs of colour c>0 -> literals (L<=2), short
+    (0x00, 0x80|L, c) or long (0x00, 0xC0|hi, lo, c); each row ends with
+    the EOL escape 0x00 0x00.  ``force_long`` uses the long forms even for
+    short runs (opcode-coverage fixtures).
+    """
+    out = bytearray()
+    for row in img:
+        # run-length encode the row
+        n = row.shape[0]
+        edges = np.flatnonzero(np.diff(row)) + 1
+        starts = np.concatenate(([0], edges))
+        ends = np.concatenate((edges, [n]))
+        for s, e in zip(starts, ends):
+            colour = int(row[s])
+            length = int(e - s)
+            while length > 0:
+                chunk = min(length, _MAX_LONG_RUN)
+                if colour == 0:
+                    if chunk < 0x40 and not force_long:
+                        out.extend([0x00, chunk])
+                    else:
+                        out.extend([0x00, 0x40 | (chunk >> 8), chunk & 0xFF])
+                else:
+                    if chunk <= 2 and not force_long:
+                        out.extend([colour] * chunk)
+                    elif chunk < 0x40 and not force_long:
+                        out.extend([0x00, 0x80 | chunk, colour])
+                    else:
+                        out.extend([0x00, 0xC0 | (chunk >> 8), chunk & 0xFF, colour])
+                length -= chunk
+        out.extend([0x00, 0x00])  # EOL
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- segments
+
+
+def sup_segment(seg_type: int, pts: int, payload: bytes) -> bytes:
+    """13-byte SUP header ("PG", BE32 PTS, BE32 DTS=0, type, BE16 size) +
+    payload (ParseSegmentHeader reads, BluRaySupParserImageSharp.cs:87-98)."""
+    return b"PG" + struct.pack(">IIBH", pts, 0, seg_type, len(payload)) + payload
+
+
+def mkv_segment(seg_type: int, payload: bytes) -> bytes:
+    """3-byte Matroska header (type, BE16 size) + payload (:100-107)."""
+    return struct.pack(">BH", seg_type, len(payload)) + payload
+
+
+def pcs_payload(
+    width: int,
+    height: int,
+    comp_num: int,
+    state: int = 0x00,
+    palette_update: bool = False,
+    palette_id: int = 0,
+    objects: list[tuple[int, int, bool, int, int]] = (),
+    fps_type: int = 0x10,
+) -> bytes:
+    """PCS payload matching ParsePicture/ParsePcs reads (:109-162).
+
+    ``objects`` = [(object_id, window_id, forced, x, y)].
+    """
+    out = bytearray(struct.pack(">HHBHBBB", width, height, fps_type, comp_num, state, 0x80 if palette_update else 0x00, palette_id))
+    out.append(len(objects))
+    for obj_id, win_id, forced, x, y in objects:
+        out.extend(struct.pack(">HBBHH", obj_id, win_id, 0x40 if forced else 0x00, x, y))
+    return bytes(out)
+
+
+def wds_payload(windows: list[tuple[int, int, int, int, int]]) -> bytes:
+    """WDS payload (log-only in the reference, :344-363)."""
+    out = bytearray([len(windows)])
+    for wid, x, y, w, h in windows:
+        out.extend(struct.pack(">BHHHH", wid, x, y, w, h))
+    return bytes(out)
+
+
+def ods_payloads(
+    object_id: int,
+    width: int,
+    height: int,
+    rle: bytes,
+    version: int = 0,
+    fragment_sizes: list[int] | None = None,
+) -> list[bytes]:
+    """One or more ODS payloads (ParseOds layout, :217-257).
+
+    First fragment: objid(2) ver(1) flags(1) datalen(3) width(2) height(2)
+    + data from offset 11; continuations: objid(2) ver(1) flags(1) + data
+    from offset 4.  ``fragment_sizes`` splits the RLE buffer (first entry =
+    bytes in the first fragment) to exercise reassembly (A3).
+    """
+    total = len(rle) + 4  # PGS data-length field counts w/h too
+    if not fragment_sizes:
+        fragment_sizes = [len(rle)]
+    assert sum(fragment_sizes) == len(rle)
+    out = []
+    pos = 0
+    for i, size in enumerate(fragment_sizes):
+        first = i == 0
+        last = i == len(fragment_sizes) - 1
+        flags = (0x80 if first else 0x00) | (0x40 if last else 0x00)
+        chunk = rle[pos : pos + size]
+        pos += size
+        if first:
+            head = struct.pack(">HBB", object_id, version, flags)
+            head += struct.pack(">I", total)[1:]  # 3-byte data length
+            head += struct.pack(">HH", width, height)
+            out.append(head + chunk)
+        else:
+            out.append(struct.pack(">HBB", object_id, version, flags) + chunk)
+    return out
+
+
+# ------------------------------------------------------------ display sets
+
+
+def build_display_set(
+    text: str,
+    pts: int,
+    comp_num: int,
+    canvas: tuple[int, int] = (1920, 1080),
+    origin: tuple[int, int] = (100, 900),
+    state: int = 0x80,
+    palette_entries: list[tuple[int, int, int, int, int]] | None = None,
+    object_id: int = 0,
+    fragment_count: int = 1,
+    force_long_rle: bool = False,
+    mkv: bool = False,
+    extra_objects: list[tuple[str, tuple[int, int], int]] = (),
+) -> bytes:
+    """One full display set: PCS, WDS, PDS, ODS(xN), END.
+
+    ``extra_objects`` = [(text, origin, object_id)] for multi-object
+    compositions (D5).
+    """
+    seg = mkv_segment if mkv else (lambda t, p: sup_segment(t, pts, p))
+    img = render_text(text)
+    h, w = img.shape
+    objs = [(object_id, 0, False, origin[0], origin[1])]
+    renders = [(img, object_id)]
+    for etext, eorigin, eid in extra_objects:
+        eimg = render_text(etext)
+        objs.append((eid, 0, False, eorigin[0], eorigin[1]))
+        renders.append((eimg, eid))
+
+    out = bytearray()
+    out += seg(SEG_PCS, pcs_payload(canvas[0], canvas[1], comp_num, state=state, objects=objs))
+    out += seg(SEG_WDS, wds_payload([(0, origin[0], origin[1], w, h)]))
+    out += seg(SEG_PDS, make_palette_pds(palette_entries))
+    for rimg, rid in renders:
+        rle = rle_encode(rimg, force_long=force_long_rle)
+        sizes = None
+        if fragment_count > 1:
+            base = len(rle) // fragment_count
+            sizes = [base] * (fragment_count - 1) + [len(rle) - base * (fragment_count - 1)]
+        for payload in ods_payloads(rid, rimg.shape[1], rimg.shape[0], rle, fragment_sizes=sizes):
+            out += seg(SEG_ODS, payload)
+    out += seg(SEG_END, b"")
+    return bytes(out)
+
+
+def build_clear_set(pts: int, comp_num: int, canvas: tuple[int, int] = (1920, 1080), mkv: bool = False) -> bytes:
+    """Zero-object composition (clears the screen; dropped by :398 after
+    donating its start time to the previous set's end via backfill)."""
+    seg = mkv_segment if mkv else (lambda t, p: sup_segment(t, pts, p))
+    out = bytearray()
+    out += seg(SEG_PCS, pcs_payload(canvas[0], canvas[1], comp_num, state=0x00, objects=[]))
+    out += seg(SEG_END, b"")
+    return bytes(out)
+
+
+def build_sup_from_cues(
+    cues: list[tuple[str, int, int]],
+    canvas: tuple[int, int] = (1920, 1080),
+    epoch_each: bool = True,
+    **ds_kwargs,
+) -> bytes:
+    """[(text, start_pts, end_pts)] -> a .sup stream with clear sets at each
+    cue end, so end-time backfill reproduces the requested ends.
+
+    ``epoch_each`` starts a new epoch per display set (the common Blu-ray
+    pattern), clearing palette/object stores so each composition carries
+    exactly one PaletteInfo — the QualifiesForMerge palette-count input.
+    """
+    out = bytearray()
+    comp = 0
+    for i, (text, start, end) in enumerate(cues):
+        state = 0x80 if (epoch_each or i == 0) else 0x00
+        out += build_display_set(text, start, comp, canvas=canvas, state=state, **ds_kwargs)
+        comp += 1
+        out += build_clear_set(end, comp, canvas=canvas)
+        comp += 1
+    return bytes(out)
+
+
+def build_sup(segments: list[bytes]) -> bytes:
+    """Concatenate pre-built display sets / raw segment bytes."""
+    return b"".join(segments)
