@@ -52,8 +52,10 @@ def rasterize(pcs: PcsData, multi_object_opacity_fix: bool = False) -> np.ndarra
     if not multi_object_opacity_fix:
         return canvas  # opacity-0 blit: nothing drawn (:30)
 
+    # fixed mode: alpha-over blit of the *unpadded* decodes, then pad the
+    # union canvas (the reference's no-op path gives no layout to follow)
     for i, obj in enumerate(pcs.pcs_objects):
-        img = decode_image(obj, pcs.bitmap_objects[i], pcs.palette_infos)
+        img = decode_image(obj, pcs.bitmap_objects[i], pcs.palette_infos, pad=False)
         ox, oy = obj.x - x0, obj.y - y0
         h = min(img.shape[0], canvas.shape[0] - oy)
         w = min(img.shape[1], canvas.shape[1] - ox)
@@ -63,4 +65,6 @@ def rasterize(pcs: PcsData, multi_object_opacity_fix: bool = False) -> np.ndarra
         dst = canvas[oy : oy + h, ox : ox + w]
         mask = src[:, :, 3] > 0
         dst[mask] = src[mask]
-    return canvas
+    from .rle import pad_image
+
+    return pad_image(canvas)

@@ -19,9 +19,9 @@ from .glyphs import match_glyph
 
 __all__ = ["OcrBackend", "GlyphAtlasOcr", "TesseractOcr", "default_backend"]
 
-# decoder-side layout constants (see fixtures/encoder.py): glyphs are
-# separated by 1 blank column; a space leaves >= 4 blank columns.
-_SPACE_GAP = 4
+# decoder-side layout constants (see pgs/glyphs.py): adjacent glyph
+# *contents* are separated by <= 5 blank columns; a space leaves >= 9.
+_SPACE_GAP = 7
 
 
 class OcrBackend(Protocol):
@@ -42,8 +42,9 @@ class GlyphAtlasOcr:
         row_any = mask.any(axis=1)
         rows = np.flatnonzero(row_any)
         lines: list[str] = []
-        # split on blank-row gaps
-        breaks = np.flatnonzero(np.diff(rows) > 1)
+        # split on blank-row gaps >= 2: glyphs like ':' and '!' contain a
+        # single internal blank row; encoder lines are >= 3 rows apart
+        breaks = np.flatnonzero(np.diff(rows) > 2)
         starts = np.concatenate(([0], breaks + 1))
         ends = np.concatenate((breaks, [len(rows) - 1]))
         for s, e in zip(starts, ends):
