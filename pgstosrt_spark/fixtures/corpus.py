@@ -1,0 +1,166 @@
+"""Interleaved-documents corpus synthesis (deterministic, no external data).
+
+Builds tables of the authoritative shape (BASELINE.json ``input_hint``)
+
+    documents(doc_id, spans: array<struct<kind,text,media_ref,offset>>)
+
+from plain text (the driver's ``documents`` table supplies the words).
+Each doc interleaves prose text spans with media spans whose payloads are
+encoder-built PGS streams of the doc's own words; a deterministic variant
+(crc32 of doc_id) rotates through the fixture classes — plain SUP,
+multi-fragment ODS, long-form RLE, Matroska-style packets, duplicate
+chains, multi-object compositions — so every decode path is exercised at
+corpus scale.  Expected outputs come from the pure-Python oracle
+(pgs/decode.py), never hand-derived.
+"""
+
+from __future__ import annotations
+
+import base64
+import zlib
+
+import pandas as pd
+
+from ..pgs.decode import decode_media_payload, pack_mkv_packets
+from ..pgs.glyphs import atlas
+from . import encoder as enc
+
+__all__ = [
+    "normalize_for_atlas",
+    "doc_to_span_rows",
+    "expected_extracted_rows",
+    "corpus_kernel",
+    "synthesize_documents",
+]
+
+_ATLAS_CHARS = None
+
+N_VARIANTS = 6
+_TICK_500MS = 45_000
+
+
+def normalize_for_atlas(text: str) -> str:
+    global _ATLAS_CHARS
+    if _ATLAS_CHARS is None:
+        _ATLAS_CHARS = set(atlas().keys()) | {" "}
+    up = text.upper()
+    return " ".join("".join(c for c in up if c in _ATLAS_CHARS).split())
+
+
+def _cue_texts(text: str, max_cues: int = 6, words_per_cue: int = 4) -> list[str]:
+    words = normalize_for_atlas(text).split()
+    if not words:
+        return ["EMPTY"]
+    cues = [
+        " ".join(words[i : i + words_per_cue])
+        for i in range(0, len(words), words_per_cue)
+    ]
+    return cues[:max_cues]
+
+
+def _timed(cues: list[str], base: int = 90_000) -> list[tuple[str, int, int]]:
+    out = []
+    t = base
+    for c in cues:
+        out.append((c, t, t + _TICK_500MS))
+        t += 2 * _TICK_500MS
+    return out
+
+
+def _media_payload(cues: list[str], variant: int) -> bytes:
+    """Encode cue texts into one media payload per the variant's class."""
+    timed = _timed(cues)
+    if variant == 1:  # F03 multi-fragment ODS
+        return enc.build_sup_from_cues(timed, fragment_count=3)
+    if variant == 2:  # F02 long-form RLE opcodes
+        return enc.build_sup_from_cues(timed, force_long_rle=True)
+    if variant == 3:  # F12 Matroska-style packets, container timing
+        packets = []
+        for i, (text, start, end) in enumerate(timed):
+            ds = enc.build_display_set(text, 0, i, mkv=True, state=0x80)
+            packets.append((start // 90, end // 90, ds))
+        return pack_mkv_packets(packets)
+    if variant == 4:  # F07 duplicate chains: 3 chains x 3 re-sends
+        dup: list[tuple[str, int, int]] = []
+        t = 90_000
+        for text, _s, _e in timed[:3] or [("DUP", 0, 0)]:
+            for _ in range(3):
+                dup.append((text, t, t + 900))
+                t += 900
+            t += 90_000
+        return enc.build_sup_from_cues(dup)
+    if variant == 5:  # F06 multi-object composition (opacity quirk)
+        text, start, end = timed[0]
+        head = enc.build_sup_from_cues(
+            [(text, start, end)], extra_objects=[("ALT", (800, 900), 1)]
+        )
+        return head + enc.build_sup_from_cues(timed[1:]) if len(timed) > 1 else head
+    return enc.build_sup_from_cues(timed)  # F01 plain .sup
+
+
+def doc_to_span_rows(doc_id: str, text: str) -> list[dict]:
+    """One source doc -> interleaved span dicts (media text = base64)."""
+    variant = zlib.crc32(doc_id.encode()) % N_VARIANTS
+    cues = _cue_texts(text)
+    half = max(len(cues) // 2, 1)
+    words = text.split()
+    mid = max(len(words) // 2, 1)
+    spans = [
+        {"kind": "text", "text": " ".join(words[:mid]), "media_ref": "", "offset": 0},
+        {
+            "kind": "media",
+            "text": base64.b64encode(_media_payload(cues[:half], variant)).decode(),
+            "media_ref": f"pgs://{doc_id}/0",
+            "offset": 1,
+        },
+        {"kind": "text", "text": " ".join(words[mid:]), "media_ref": "", "offset": 2},
+    ]
+    if len(cues) > half:
+        spans.append(
+            {
+                "kind": "media",
+                "text": base64.b64encode(
+                    _media_payload(cues[half:], (variant + 1) % N_VARIANTS)
+                ).decode(),
+                "media_ref": f"pgs://{doc_id}/1",
+                "offset": 3,
+            }
+        )
+    return spans
+
+
+def expected_extracted_rows(doc_id: str, text: str) -> list[dict]:
+    """Oracle-computed expected output spans for one doc (FIXTURES.md §2)."""
+    out: list[dict] = []
+    for span in doc_to_span_rows(doc_id, text):
+        if span["kind"] == "text":
+            out.append(span)
+        else:
+            payload = base64.b64decode(span["text"])
+            for _seq, cue in decode_media_payload(payload):
+                out.append(
+                    {
+                        "kind": "cue",
+                        "text": cue,
+                        "media_ref": span["media_ref"],
+                        "offset": span["offset"],
+                    }
+                )
+    return out
+
+
+def corpus_kernel(batches):
+    """mapInPandas kernel: (doc_id, text) -> interleaved documents rows."""
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            rows.append({"doc_id": str(doc_id), "spans": doc_to_span_rows(str(doc_id), text)})
+        yield pd.DataFrame(rows)
+
+
+def synthesize_documents(spark, sf_dir: str):
+    """Driver ``documents`` table -> interleaved corpus DataFrame."""
+    from ..sources.tables import DOCUMENTS_SCHEMA
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return src.mapInPandas(corpus_kernel, schema=DOCUMENTS_SCHEMA)

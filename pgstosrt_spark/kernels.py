@@ -1,0 +1,235 @@
+"""Arrow-vectorized extraction kernels (SURVEY.md §2 K-parse/K-decode/K-ocr).
+
+All kernels are ``mapInPandas`` batch iterators — Arrow transfer in, Arrow
+out, no row-at-a-time Python UDFs.  Each media payload is one self-contained
+PGS stream, so the sequential display-set state machine (the part Catalyst
+cannot express, SURVEY.md §2.3 A1) runs per payload *inside* the kernel
+while Spark parallelizes across payloads; pixel/byte work is numpy.
+
+Two physical strategies (pipeline.py picks):
+  * fused     — one kernel does parse -> merge -> decode -> OCR.  No extra
+                shuffle; right when payload sizes are uniform.
+  * two-phase — kernel A does the cheap, inherently-sequential byte walk
+                (parse+assemble+merge) and emits per-composition rows;
+                after a round-robin rebalance, kernel B does the expensive
+                decode+OCR per composition.  Right for skew: one monster
+                payload fans out to many tasks (SURVEY.md §4.3.1).
+
+Error policy: the reference silently drops failing items
+(PgsOcr.cs:103-106); these kernels never stay silent — every failure emits
+a ``kind='_error'`` row and every payload a ``kind='_metric'`` row (JSON
+counters), which the pipeline routes to a metrics side-channel.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .pgs.decode import decode_media_payload, decode_to_display_sets
+from .pgs.model import PcsData
+from .pgs.ocr import GlyphAtlasOcr, OcrBackend
+from .pgs.srt import cue_text
+
+CUE_SCHEMA = (
+    "doc_id string, offset int, seq int, kind string, text string, media_ref string"
+)
+
+COMP_SCHEMA = (
+    "doc_id string, offset int, seq int, kind string, media_ref string, pcs binary, info string"
+)
+
+
+def _metric_row(doc_id: str, offset: int, media_ref: str, **counters) -> dict:
+    return {
+        "doc_id": doc_id,
+        "offset": offset,
+        "seq": 0,
+        "kind": "_metric",
+        "text": json.dumps(counters, sort_keys=True),
+        "media_ref": media_ref,
+    }
+
+
+def make_fused_kernel(
+    backend: OcrBackend | None = None,
+    skip_merge: bool = False,
+    force_merge_all: bool = False,
+    multi_object_opacity_fix: bool = False,
+):
+    """Fused K-parse∘K-decode∘K-ocr over (doc_id, offset, media_ref, payload)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ocr = backend or GlyphAtlasOcr()
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, offset, media_ref, payload in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["payload"]
+            ):
+                t0 = time.perf_counter()
+                try:
+                    cues = decode_media_payload(
+                        bytes(payload),
+                        backend=ocr,
+                        skip_merge=skip_merge,
+                        force_merge_all=force_merge_all,
+                        multi_object_opacity_fix=multi_object_opacity_fix,
+                    )
+                    for seq, text in cues:
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "offset": int(offset),
+                                "seq": seq,
+                                "kind": "cue",
+                                "text": text,
+                                "media_ref": media_ref,
+                            }
+                        )
+                    rows.append(
+                        _metric_row(
+                            doc_id,
+                            int(offset),
+                            media_ref,
+                            cues=len(cues),
+                            bytes=len(payload),
+                            wall_ms=round((time.perf_counter() - t0) * 1e3, 3),
+                        )
+                    )
+                except Exception as exc:  # never silent (vs PgsOcr.cs:103-106)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "offset": int(offset),
+                            "seq": 0,
+                            "kind": "_error",
+                            "text": f"{type(exc).__name__}: {exc}",
+                            "media_ref": media_ref,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "offset", "seq", "kind", "text", "media_ref"],
+            )
+
+    return kernel
+
+
+def make_parse_kernel(skip_merge: bool = False, force_merge_all: bool = False):
+    """Two-phase kernel A: payload -> per-composition rows (cheap byte walk).
+
+    Emits one ``kind='comp'`` row per merged display set with the PcsData
+    pickled into a binary cell; decode+OCR happen downstream after a
+    rebalance, so a single skewed payload spreads across the cluster.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, offset, media_ref, payload in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["payload"]
+            ):
+                t0 = time.perf_counter()
+                try:
+                    sets = decode_to_display_sets(
+                        bytes(payload), skip_merge=skip_merge, force_merge_all=force_merge_all
+                    )
+                    for i, pcs in enumerate(sets):
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "offset": int(offset),
+                                "seq": i + 1,
+                                "kind": "comp",
+                                "media_ref": media_ref,
+                                "pcs": pickle.dumps(pcs, protocol=pickle.HIGHEST_PROTOCOL),
+                                "info": "",
+                            }
+                        )
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "offset": int(offset),
+                            "seq": 0,
+                            "kind": "_metric",
+                            "media_ref": media_ref,
+                            "pcs": None,
+                            "info": json.dumps(
+                                {
+                                    "comps": len(sets),
+                                    "bytes": len(payload),
+                                    "parse_ms": round((time.perf_counter() - t0) * 1e3, 3),
+                                },
+                                sort_keys=True,
+                            ),
+                        }
+                    )
+                except Exception as exc:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "offset": int(offset),
+                            "seq": 0,
+                            "kind": "_error",
+                            "media_ref": media_ref,
+                            "pcs": None,
+                            "info": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "offset", "seq", "kind", "media_ref", "pcs", "info"],
+            )
+
+    return kernel
+
+
+def make_ocr_kernel(
+    backend: OcrBackend | None = None, multi_object_opacity_fix: bool = False
+):
+    """Two-phase kernel B: composition rows -> cue rows (decode + OCR)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .pgs.compose import rasterize
+
+        ocr = backend or GlyphAtlasOcr()
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, offset, seq, media_ref, blob in zip(
+                pdf["doc_id"], pdf["offset"], pdf["seq"], pdf["media_ref"], pdf["pcs"]
+            ):
+                try:
+                    pcs: PcsData = pickle.loads(bytes(blob))
+                    img = rasterize(pcs, multi_object_opacity_fix=multi_object_opacity_fix)
+                    text = ocr.recognize(img)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "offset": int(offset),
+                            "seq": int(seq),
+                            "kind": "cue",
+                            "text": cue_text(pcs.start, pcs.end, text),
+                            "media_ref": media_ref,
+                        }
+                    )
+                except Exception as exc:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "offset": int(offset),
+                            "seq": int(seq),
+                            "kind": "_error",
+                            "text": f"{type(exc).__name__}: {exc}",
+                            "media_ref": media_ref,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "offset", "seq", "kind", "text", "media_ref"],
+            )
+
+    return kernel

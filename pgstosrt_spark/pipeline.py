@@ -1,0 +1,163 @@
+"""The extraction DataFrame plan (SURVEY.md §3.4 lifecycle).
+
+    documents ──posexplode──▶ spans ──filter kind='media'──▶ payloads
+       │                                   │ unbase64 (JVM-side)
+       │                                   ▼
+       │                      mapInPandas extraction kernel(s)
+       │                                   │  cue rows + metric/error rows
+       ▼                                   ▼
+    text spans ────────── unionByName ──▶ all span rows
+                                           │ groupBy(doc_id)           ← the
+                                           │ sort_array(collect_list)    one
+                                           ▼                             shuffle
+                      extracted(doc_id, spans) — same shape as input
+
+Scale notes (100 TB / 10^12 docs):
+  * the explode, filter and unbase64 are narrow — no shuffle; column
+    pruning pushes the parquet/Iceberg scan down to (doc_id, spans);
+  * the only required shuffle is the final groupBy(doc_id) of *small*
+    string rows (payload bytes never shuffle in fused mode);
+  * ``mode='two_phase'`` adds one rebalance shuffle of parsed compositions
+    (RLE-compressed, still far smaller than raw payloads) so skewed
+    payloads fan out before the expensive decode+OCR (north_rule skew);
+  * ``balance=True`` round-robins media rows before the fused kernel when
+    the *input* partitioning is skewed (many payloads in few files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kernels import (
+    COMP_SCHEMA,
+    CUE_SCHEMA,
+    make_fused_kernel,
+    make_ocr_kernel,
+    make_parse_kernel,
+)
+from .pgs.ocr import OcrBackend
+
+__all__ = ["explode_spans", "extract_cue_rows", "extract", "split_side_channel"]
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents -> one row per span (narrow, no shuffle)."""
+    return documents.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def extract_cue_rows(
+    documents: DataFrame,
+    mode: str = "fused",
+    backend: OcrBackend | None = None,
+    balance: bool = False,
+    rebalance_partitions: int | None = None,
+    skip_merge: bool = False,
+    force_merge_all: bool = False,
+    multi_object_opacity_fix: bool = False,
+) -> DataFrame:
+    """Media spans -> cue/metric/error rows (flat), pre-re-aggregation."""
+    spans = explode_spans(documents)
+    media = spans.filter(F.col("kind") == "media").select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        F.unbase64(F.col("text")).alias("payload"),  # JVM-side base64 decode
+    )
+    if balance:
+        n = rebalance_partitions or media.sparkSession.sparkContext.defaultParallelism
+        media = media.repartition(n)
+
+    if mode == "fused":
+        return media.mapInPandas(
+            make_fused_kernel(
+                backend=backend,
+                skip_merge=skip_merge,
+                force_merge_all=force_merge_all,
+                multi_object_opacity_fix=multi_object_opacity_fix,
+            ),
+            schema=CUE_SCHEMA,
+        )
+    if mode == "two_phase":
+        comps = media.mapInPandas(
+            make_parse_kernel(skip_merge=skip_merge, force_merge_all=force_merge_all),
+            schema=COMP_SCHEMA,
+        )
+        n = rebalance_partitions or media.sparkSession.sparkContext.defaultParallelism
+        comp_rows = comps.filter(F.col("kind") == "comp").repartition(n)
+        cues = comp_rows.mapInPandas(
+            make_ocr_kernel(
+                backend=backend, multi_object_opacity_fix=multi_object_opacity_fix
+            ),
+            schema=CUE_SCHEMA,
+        )
+        side = comps.filter(F.col("kind") != "comp").select(
+            "doc_id",
+            "offset",
+            "seq",
+            "kind",
+            F.col("info").alias("text"),
+            "media_ref",
+        )
+        return cues.unionByName(side)
+    raise ValueError(f"unknown mode: {mode!r} (fused | two_phase)")
+
+
+def split_side_channel(cue_rows: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """-> (cue rows, metric/error rows) — lineage is never silent."""
+    return (
+        cue_rows.filter(F.col("kind") == "cue"),
+        cue_rows.filter(F.col("kind").isin("_metric", "_error")),
+    )
+
+
+def extract(
+    documents: DataFrame,
+    mode: str = "fused",
+    backend: OcrBackend | None = None,
+    **kw,
+) -> DataFrame:
+    """Full pipeline: documents -> extracted (same shape, FIXTURES.md §2).
+
+    Text spans pass through; each media span becomes one 'cue' span per
+    merged composition, carrying the source media_ref/offset, ordered by
+    (offset, seq) via the struct sort key.
+    """
+    spans = explode_spans(documents)
+    text_rows = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "offset",
+        F.lit(0).alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+    )
+    cues, _side = split_side_channel(
+        extract_cue_rows(documents, mode=mode, backend=backend, **kw)
+    )
+    all_rows = text_rows.unionByName(cues)
+    ordered = all_rows.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("offset", "seq", "kind", "text", "media_ref"))
+        ).alias("ordered")
+    )
+    return ordered.select(
+        "doc_id",
+        F.transform(
+            "ordered",
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                x["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )

@@ -1,0 +1,146 @@
+"""End-to-end Spark pipeline tests: span-sequence equality vs the oracle.
+
+The correctness contract (BASELINE.json): per doc, the extracted span
+sequence equals the pure-Python oracle on (kind, text, media_ref, order).
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgstosrt_spark.fixtures import corpus, encoder as enc
+from pgstosrt_spark.pipeline import extract, extract_cue_rows, split_side_channel
+from pgstosrt_spark.sources.tables import DOCUMENTS_SCHEMA
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _expected(doc_rows):
+    return {
+        d: [(s["kind"], s["text"], s["media_ref"]) for s in corpus.expected_extracted_rows(d, t)]
+        for d, t in doc_rows
+    }
+
+
+def _collect_spans(df):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    """16 synthesized interleaved docs covering all corpus variants."""
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text").limit(16)
+    rows = [(str(r["doc_id"]), r["text"]) for r in src.collect()]
+    docs = spark.createDataFrame(
+        [{"doc_id": d, "spans": corpus.doc_to_span_rows(d, t)} for d, t in rows],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    return docs, rows
+
+
+def test_extract_fused_matches_oracle(spark, small_docs):
+    docs, rows = small_docs
+    got = _collect_spans(extract(docs))
+    assert got == _expected(rows)
+
+
+def test_extract_two_phase_matches_fused(spark, small_docs):
+    docs, rows = small_docs
+    fused = _collect_spans(extract(docs, mode="fused"))
+    two_phase = _collect_spans(extract(docs, mode="two_phase"))
+    assert two_phase == fused == _expected(rows)
+
+
+def test_extract_balance_equivalent(spark, small_docs):
+    docs, rows = small_docs
+    got = _collect_spans(extract(docs, balance=True, rebalance_partitions=4))
+    assert got == _expected(rows)
+
+
+def test_span_order_is_offset_then_seq(spark):
+    """Cues from one media span keep stream order; spans keep doc order."""
+    cues = [("CUE ONE", 90_000, 135_000), ("CUE TWO", 180_000, 225_000)]
+    payload = base64.b64encode(enc.build_sup_from_cues(cues)).decode()
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "d1",
+                "spans": [
+                    {"kind": "text", "text": "intro", "media_ref": "", "offset": 0},
+                    {"kind": "media", "text": payload, "media_ref": "pgs://d1/0", "offset": 1},
+                    {"kind": "text", "text": "outro", "media_ref": "", "offset": 2},
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    [row] = extract(docs).collect()
+    kinds = [s["kind"] for s in row["spans"]]
+    texts = [s["text"] for s in row["spans"]]
+    assert kinds == ["text", "cue", "cue", "text"]
+    assert texts[0] == "intro" and texts[3] == "outro"
+    assert texts[1].endswith("CUE ONE") and texts[2].endswith("CUE TWO")
+    offsets = [s["offset"] for s in row["spans"]]
+    assert offsets == [0, 1, 1, 2]
+
+
+def test_metrics_side_channel_and_error_rows(spark):
+    good = base64.b64encode(enc.build_sup_from_cues([("OK", 90_000, 180_000)])).decode()
+    bad = base64.b64encode(b"MKPG" + b"\xff" * 8).decode()  # truncated container
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "d1",
+                "spans": [
+                    {"kind": "media", "text": good, "media_ref": "pgs://d1/0", "offset": 0},
+                    {"kind": "media", "text": bad, "media_ref": "pgs://d1/1", "offset": 1},
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    rows = extract_cue_rows(docs)
+    cues, side = split_side_channel(rows)
+    side_rows = {r["kind"]: r for r in side.collect()}
+    assert "_metric" in side_rows and "_error" in side_rows
+    assert '"cues": 1' in side_rows["_metric"]["text"]
+    assert cues.count() == 1
+    # errors never silently vanish from the side channel, but the extracted
+    # output keeps only the success path (reference drops failed items)
+    [doc] = extract(docs).collect()
+    assert [s["kind"] for s in doc["spans"]] == ["cue"]
+
+
+def test_media_only_and_text_only_docs(spark):
+    payload = base64.b64encode(enc.build_sup_from_cues([("SOLO", 90_000, 180_000)])).decode()
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": "t", "spans": [{"kind": "text", "text": "just text", "media_ref": "", "offset": 0}]},
+            {"doc_id": "m", "spans": [{"kind": "media", "text": payload, "media_ref": "pgs://m/0", "offset": 0}]},
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    got = _collect_spans(extract(docs))
+    assert got["t"] == [("text", "just text", "")]
+    assert got["m"] == [("cue", "00:00:01,000 --> 00:00:02,000\nSOLO", "pgs://m/0")]
+
+
+def test_skew_doc_many_media_spans(spark):
+    """F14 skew: one doc with many media spans — two-phase == fused."""
+    spans = []
+    for i in range(60):
+        p = base64.b64encode(
+            enc.build_sup_from_cues([(f"SKEW {i}", 90_000 + i * 90_000, 135_000 + i * 90_000)])
+        ).decode()
+        spans.append({"kind": "media", "text": p, "media_ref": f"pgs://skew/{i}", "offset": i})
+    docs = spark.createDataFrame([{"doc_id": "skew", "spans": spans}], schema=DOCUMENTS_SCHEMA)
+    fused = _collect_spans(extract(docs))
+    two_phase = _collect_spans(extract(docs, mode="two_phase", rebalance_partitions=8))
+    assert fused == two_phase
+    assert len(fused["skew"]) == 60
