@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 (the
+extraction kernels, the relational skeleton it maps to in §2.6, and the
+training-data ops); ``oracle_sql()`` gives DuckDB twins for every
+SQL-expressible query.  Binary-kernel queries (PGS decode, OCR) and
+hash-function-dependent ops (minhash/simhash: xxhash64 has no DuckDB
+equivalent) are rows-only checked here and pinned against the pure-Python
+oracle in tests/.
+
+Cross-engine determinism rules used throughout (see tests/test_oracle_parity):
+  * group sums go through exact decimal arithmetic, never raw doubles;
+  * per-row floats are identical-input deterministic expressions, rounded
+    the same on both sides;
+  * timestamps are compared under an explicitly pinned UTC session TZ.
 """
 
 from __future__ import annotations
@@ -12,27 +21,303 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+_STOP = "('the','a','of','and','to','in','is','on','for','with')"
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- extraction
+
+
+def _extract_flat(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    """Synthesize the interleaved corpus from the driver text docs, run the
+    extraction pipeline, return flat exploded output spans."""
+    from pgstosrt_spark.fixtures.corpus import synthesize_documents
+    from pgstosrt_spark.pipeline import extract
+
+    docs = synthesize_documents(_utc(spark), sf_dir)
+    extracted = extract(docs, mode=mode)
+    return extracted.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PGS extraction over the interleaved corpus at sf0.001."""
+    return _extract_flat(spark, SF_SMOKE, mode="fused")
+
+
+def _q_extract_fused(spark, sf_dir):
+    return _extract_flat(spark, sf_dir, mode="fused")
+
+
+def _q_extract_two_phase(spark, sf_dir):
+    return _extract_flat(spark, sf_dir, mode="two_phase")
+
+
+def _q_extract_metrics(spark, sf_dir):
+    from pgstosrt_spark.fixtures.corpus import synthesize_documents
+    from pgstosrt_spark.pipeline import extract_cue_rows, split_side_channel
+
+    docs = synthesize_documents(_utc(spark), sf_dir)
+    _cues, side = split_side_channel(extract_cue_rows(docs))
+    return side.select("doc_id", "offset", "kind", "media_ref", "text")
+
+
+# ----------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pgstosrt_spark.functions import dedup as dd
+    from pgstosrt_spark.functions import similarity as sim
+    from pgstosrt_spark.functions import text as tx
+    from pgstosrt_spark.operators import relational as rel
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def docs_q(fn):
+        return lambda spark, sf: fn(_documents(_utc(spark), sf))
+
+    return {
+        # extraction pipeline (binary kernels -> rows-only driver check;
+        # value-level equality vs the pure-Python oracle is pinned in tests/)
+        "extract_interleaved": _q_extract_fused,
+        "extract_two_phase": _q_extract_two_phase,
+        "extract_metrics": _q_extract_metrics,
+        # relational skeleton (SURVEY.md §2.6) — DuckDB-verified
+        "pricing_summary": lambda s, sf: rel.pricing_summary(_utc(s), sf),
+        "filter_project": lambda s, sf: rel.filter_project(_utc(s), sf),
+        "window_lead_backfill": lambda s, sf: rel.window_lead_backfill(_utc(s), sf),
+        "run_length_dedup": lambda s, sf: rel.run_length_dedup(_utc(s), sf),
+        "fragment_reassembly": lambda s, sf: rel.fragment_reassembly(_utc(s), sf),
+        "topk_per_group": lambda s, sf: rel.topk_per_group(_utc(s), sf),
+        "broadcast_join_enrich": lambda s, sf: rel.broadcast_join_enrich(_utc(s), sf),
+        "left_semi_exists": lambda s, sf: rel.left_semi_exists(_utc(s), sf),
+        "left_anti_resume": lambda s, sf: rel.left_anti_resume(_utc(s), sf),
+        "union_merge_order": lambda s, sf: rel.union_merge_order(_utc(s), sf),
+        "sessionize": lambda s, sf: rel.sessionize(_utc(s), sf),
+        # text analysis — DuckDB-verified
+        "token_count": docs_q(tx.token_count),
+        "quality_score": docs_q(tx.quality_score),
+        "lang_id": docs_q(tx.lang_id),
+        "doc_fingerprint": docs_q(tx.fingerprint),
+        # dedup — exact + jaccard DuckDB-verified; hash-sketch ops rows-only
+        "exact_dedup": docs_q(dd.exact_dedup),
+        "ngram_jaccard_dups": docs_q(lambda df: dd.ngram_jaccard_pairs(df, threshold=0.2)),
+        "minhash_lsh_dups": docs_q(lambda df: dd.minhash_lsh_pairs(df, threshold=0.2)),
+        "simhash_fingerprint": docs_q(dd.simhash),
+        "simhash_dups": docs_q(lambda df: dd.simhash_pairs(df, max_hamming=3)),
+        # similarity search over embeddings
+        "ann_cosine_topk": lambda s, sf: sim.cosine_topk_bruteforce(
+            _embeddings(_utc(s), sf), _embeddings(s, sf).filter(F.col("vec_id") < 5)
+        ),
+        "ann_ivf_topk": lambda s, sf: sim.ivf_topk(
+            _embeddings(_utc(s), sf), _embeddings(s, sf).filter(F.col("vec_id") < 5)
+        ),
+        "embedding_near_dup": lambda s, sf: sim.embedding_near_dup(
+            _embeddings(_utc(s), sf), threshold=0.8
+        ),
+    }
+
+
+# -------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "CAST({c} AS DECIMAL(18,2))"
+    price = dec.format(c="l_extendedprice")
+    disc = dec.format(c="l_discount")
+    qty = dec.format(c="l_quantity")
+    disc_price = f"{price} * (CAST(1 AS DECIMAL(18,2)) - {disc})"
+
+    return {
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum({qty}) AS DOUBLE) AS sum_qty,
+                   CAST(sum({price}) AS DOUBLE) AS sum_base_price,
+                   CAST(sum({disc_price}) AS DOUBLE) AS sum_disc_price,
+                   round(CAST(sum({qty}) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(sum({disc}) AS DOUBLE) / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT event_id, user_id, round(value, 6) AS value
+            FROM events WHERE event_type = 'click'
+        """,
+        "window_lead_backfill": """
+            SELECT user_id, event_id, ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+            FROM events
+        """,
+        "run_length_dedup": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+                SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS run_id
+                FROM flagged
+            )
+            SELECT user_id, event_type, min(ts) AS run_start, max(ts) AS run_end,
+                   count(*) AS n_events
+            FROM runs GROUP BY user_id, run_id, event_type
+        """,
+        "fragment_reassembly": """
+            SELECT l_orderkey,
+                   string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS flags,
+                   count(*) AS n_fragments
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS total
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                  FROM orders)
+            WHERE rnk <= 3
+        """,
+        "broadcast_join_enrich": f"""
+            SELECT p_brand,
+                   CAST(sum({disc_price}) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "left_semi_exists": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        """,
+        "left_anti_resume": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "union_merge_order": """
+            SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, user_id, event_type FROM events WHERE event_type = 'view'
+            ORDER BY event_id
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   round(len(list_filter(toks, x -> x IN {_STOP})) / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   round(length(regexp_replace(text, '[^.,:;!?]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(CASE WHEN length(text) BETWEEN 50 AND 5000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                       + CASE WHEN round(len(list_filter(toks, x -> x IN {_STOP})) / greatest(len(toks), 1), 6) >= 0.02
+                              THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                       + CASE WHEN round(length(regexp_replace(text, '[^.,:;!?]', '', 'g')) / greatest(length(text), 1), 6) < 0.10
+                              THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, 2) AS quality
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CASE WHEN round(len(list_filter(toks, x -> x IN {_STOP})) / greatest(len(toks), 1), 6) >= 0.02
+                        THEN 'en' ELSE 'xx' END AS pred_lang
+            FROM t
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": r"""
+            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+                   count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_dups": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 3
+                              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                                i -> array_to_string(toks[i:i+2], ' ')))
+                              ELSE [] END AS sh
+                  FROM t),
+            e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+                         count(*) AS inter
+                  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+            FROM p WHERE round(inter / (n_a + n_b - inter), 6) >= 0.2
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+            s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+                         list_sum(list_transform(list_zip(q.q_emb, v.emb), x -> x[1] * x[2]))
+                         / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                            * sqrt(list_sum(list_transform(v.emb, x -> x * x)))) AS score_raw
+                  FROM e v, q WHERE v.vec_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id, score_raw,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score_raw DESC, neighbor_id) AS rnk
+                  FROM s)
+            SELECT query_id, neighbor_id, rnk, round(score_raw, 4) AS score
+            FROM r WHERE rnk <= 10
+        """,
+        # omitted on purpose (rows-only driver check; pinned in tests/):
+        #   extract_interleaved / extract_two_phase / extract_metrics —
+        #     PGS binary kernels + OCR, not SQL-expressible;
+        #   minhash_lsh_dups / simhash_fingerprint / simhash_dups —
+        #     xxhash64 has no DuckDB equivalent;
+        #   ann_ivf_topk / embedding_near_dup — centroid argmax assignment
+        #     (verified in tests/test_functions.py for recall vs brute force).
+    }

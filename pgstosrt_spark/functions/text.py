@@ -1,0 +1,99 @@
+"""Text analysis operators: tokenization, language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Cross-engine-deterministic by construction: every expression here has an
+exact ANSI-SQL equivalent (DuckDB oracle in __spark_entry__.py), so the
+driver's value-hash comparison holds bit-for-bit.  No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_col",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+# deterministic tokenizer shared with the oracle SQL: lowercase, split on
+# non-alphanumeric runs, drop empties
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def tokens_col(col: str = "text") -> Column:
+    return F.filter(
+        F.split(F.lower(F.col(col)), _TOKEN_SPLIT), lambda x: x != F.lit("")
+    )
+
+
+def token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    """doc_id, n_tokens, n_chars — whitespace/regex token counting."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_col(col)).alias("n_tokens"),
+        F.length(F.col(col)).alias("n_chars"),
+    )
+
+
+def _stopword_ratio(toks: Column) -> Column:
+    in_set = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.round(in_set / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword heuristics -> a [0,1] quality score.
+
+    score = 0.4*len_ok + 0.3*stopword_ok + 0.3*punct_ok, where len_ok is a
+    50..5000-char band, stopword_ok wants ratio >= 0.02 (prose-like), and
+    punct_ok wants < 10% punctuation.  All components are exposed so
+    downstream filters can recombine.
+    """
+    toks = tokens_col(col)
+    n_chars = F.length(F.col(col))
+    punct = F.length(F.regexp_replace(F.col(col), "[^.,:;!?]", ""))
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = _stopword_ratio(toks)
+    len_ok = (n_chars >= 50) & (n_chars <= 5000)
+    stop_ok = stop_ratio >= 0.02
+    punct_ok = punct_ratio < 0.10
+    score = F.round(
+        len_ok.cast("double") * 0.4
+        + stop_ok.cast("double") * 0.3
+        + punct_ok.cast("double") * 0.3,
+        2,
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic: 'en' when English stopwords make
+    up >= 2% of tokens, else 'xx'.  (An n-gram model plugs into the same
+    shape; the driver corpus shares one vocabulary across its lang labels,
+    so the heuristic is exercised for determinism, not label recovery.)"""
+    toks = tokens_col(col)
+    return df.select(
+        "doc_id",
+        F.when(_stopword_ratio(toks) >= 0.02, F.lit("en"))
+        .otherwise(F.lit("xx"))
+        .alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercase text (md5 agrees across Spark and DuckDB)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(col)), "\\s+", " "))
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))

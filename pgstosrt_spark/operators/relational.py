@@ -1,0 +1,213 @@
+"""Relational-skeleton operators (SURVEY.md §2.6).
+
+Each function is the Spark half of a driver-verified query; the matching
+DuckDB oracle SQL lives in ``__spark_entry__.oracle_sql``.  Reference
+citations name the loop/LINQ construct the operator re-expresses.
+All are pure DataFrame expressions — Catalyst handles pushdown, pruning,
+join strategy (broadcast hints where the dimension side is provably small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style scan+filter+groupBy+agg+sort — the canonical OLAP
+    shape (scan §2.6 row 1, group-by+agg row 6, sort row 7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # exact decimal arithmetic: double sums are order-dependent across
+    # engines, decimal sums are associative -> oracle value-hash holds
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate filter + projection (track/language filters,
+    MkvUtilities.cs:105-109, PgsParser.cs:40) — pushdown-verified."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+
+
+def window_lead_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-time backfill via lead() (BluRaySupParserImageSharp.cs:391-396):
+    each event's end_ts = next event's ts within the user stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lead("ts").over(w).alias("end_ts"),
+    )
+
+
+def run_length_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate collapse (merge A6 relational skeleton,
+    :424-521): lag -> change flag -> cumulative run id -> per-run
+    min(start)/max(end)/count, exactly the lag/cumsum/groupBy shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "event_type", "run_start", "run_end", "n_events")
+    )
+
+
+def fragment_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-group concat (ODS fragment reassembly A3, :399-422):
+    per order, line flags concatenated in l_linenumber order."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("l_linenumber", "l_returnflag"))
+                    ),
+                    lambda x: x["l_returnflag"],
+                ),
+            ).alias("flags"),
+            F.count("*").alias("n_fragments"),
+        )
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-K per group via row_number window (result re-ordering O4
+    analog, PgsOcr.cs:110)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("o_custkey", "o_orderkey", "rnk", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+def broadcast_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-join on a small dimension (CompletePcs dict join analog,
+    :164-189): lineitem x broadcast(part), revenue per brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def left_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence via left-semi (palettes.ContainsKey analog, :173)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100_000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def left_anti_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the checkpoint-resume primitive, SURVEY.md §4.3.3):
+    customers with no orders = pending work."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def union_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union of two filtered streams + global sort (per-track output
+    concat, Runner.cs:38-42; span re-merge §3.4)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "event_type")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "event_type")
+    return clicks.unionByName(views).orderBy("event_id")
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (run-length session grouping §2.6):
+    lag(ts) -> gap>threshold -> cumsum session id -> per-session agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                # NTZ -> LTZ -> epoch seconds (session TZ pinned to UTC)
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag("ts").over(w).cast("timestamp").cast("long")
+                > gap_minutes * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        # decimal sum: exact regardless of partition order (oracle parity)
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+    )

@@ -38,7 +38,13 @@ from .kernels import (
 )
 from .pgs.ocr import OcrBackend
 
-__all__ = ["explode_spans", "extract_cue_rows", "extract", "split_side_channel"]
+__all__ = [
+    "explode_spans",
+    "extract_cue_rows",
+    "assemble_spans",
+    "extract",
+    "split_side_channel",
+]
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
@@ -119,18 +125,9 @@ def split_side_channel(cue_rows: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def extract(
-    documents: DataFrame,
-    mode: str = "fused",
-    backend: OcrBackend | None = None,
-    **kw,
-) -> DataFrame:
-    """Full pipeline: documents -> extracted (same shape, FIXTURES.md §2).
-
-    Text spans pass through; each media span becomes one 'cue' span per
-    merged composition, carrying the source media_ref/offset, ordered by
-    (offset, seq) via the struct sort key.
-    """
+def assemble_spans(documents: DataFrame, cue_rows: DataFrame) -> DataFrame:
+    """Re-merge text spans with (possibly precomputed) cue rows into the
+    output documents shape — the tail of the plan, one shuffle on doc_id."""
     spans = explode_spans(documents)
     text_rows = spans.filter(F.col("kind") == "text").select(
         "doc_id",
@@ -140,9 +137,7 @@ def extract(
         "text",
         "media_ref",
     )
-    cues, _side = split_side_channel(
-        extract_cue_rows(documents, mode=mode, backend=backend, **kw)
-    )
+    cues, _side = split_side_channel(cue_rows)
     all_rows = text_rows.unionByName(cues)
     ordered = all_rows.groupBy("doc_id").agg(
         F.sort_array(
@@ -160,4 +155,21 @@ def extract(
                 x["offset"].alias("offset"),
             ),
         ).alias("spans"),
+    )
+
+
+def extract(
+    documents: DataFrame,
+    mode: str = "fused",
+    backend: OcrBackend | None = None,
+    **kw,
+) -> DataFrame:
+    """Full pipeline: documents -> extracted (same shape, FIXTURES.md §2).
+
+    Text spans pass through; each media span becomes one 'cue' span per
+    merged composition, carrying the source media_ref/offset, ordered by
+    (offset, seq) via the struct sort key.
+    """
+    return assemble_spans(
+        documents, extract_cue_rows(documents, mode=mode, backend=backend, **kw)
     )
