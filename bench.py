@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` = wall seconds of the flagship extraction query (the BASELINE.md
+headline); per-query seconds in ``queries``; extraction throughput in
+docs/sec is reported alongside.  The interleaved corpus is synthesized
+deterministically from the driver's text documents and cached under
+.bench_cache/ so corpus *generation* is not billed to extraction.
+
+Scaling runs (local[8] vs local[32], BASELINE.md's N-vs-4N proxy) are a
+separate entrypoint: ``python bench_scaling.py`` -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _build_corpus_cache(spark, sf_dir: str, cache_dir: str) -> str:
+    from pgstosrt_spark.fixtures.corpus import synthesize_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(cache_dir, tag, "documents_interleaved")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synthesize_documents(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_bench(sf_dir: str, cpus: int, runs: int = 1) -> dict:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(cpus))
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from pgstosrt_spark.pipeline import extract
+    from pgstosrt_spark.session import get_spark
+    from pgstosrt_spark.sources.tables import read_documents
+
+    spark = get_spark("pgstosrt-bench", cpus=cpus)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    corpus_path = _build_corpus_cache(spark, sf_dir, cache_dir)
+    docs = read_documents(spark, corpus_path)
+    n_docs = docs.count()
+
+    qdefs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    def timed(name: str, thunk) -> None:
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            thunk()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    # warm the JVM + Python workers on a small slice
+    _noop(extract(docs.limit(64)))
+
+    # flagship: full extraction over the pre-built interleaved corpus
+    timed("extract_fused", lambda: _noop(extract(docs, mode="fused")))
+    timed("extract_two_phase", lambda: _noop(extract(docs, mode="two_phase")))
+
+    # relational / training-data headliners (driver sf tables)
+    for name in (
+        "pricing_summary",
+        "broadcast_join_enrich",
+        "run_length_dedup",
+        "fragment_reassembly",
+        "sessionize",
+        "token_count",
+        "quality_score",
+        "exact_dedup",
+        "ngram_jaccard_dups",
+        "minhash_lsh_dups",
+        "simhash_dups",
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+    ):
+        timed(name, lambda name=name: _noop(qdefs[name](spark, sf_dir)))
+
+    extract_sec = timings["extract_fused"]
+    result = {
+        "metric": "extraction wall-clock (fused pipeline, interleaved corpus)",
+        "value": extract_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 1) if extract_sec else None,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

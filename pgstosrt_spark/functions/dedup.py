@@ -33,7 +33,9 @@ __all__ = [
     "simhash_pairs",
 ]
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: keeps a*x products within long range under
+# Spark's ANSI overflow checking (a, x < 2^31 -> a*x < 2^62)
+_MERSENNE = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, col: str = "text") -> DataFrame:
@@ -115,17 +117,17 @@ def minhash_signature(df: DataFrame, k: int = 16, n: int = 3, col: str = "text")
     all JVM-side array expressions, no shuffle, no UDF.
     """
     sh = shingles_col(n, col)
+
+    # factory keeps the lambda single-arg (PySpark binds HOF lambdas by arity)
+    def perm(a: int, b: int):
+        return lambda s: F.pmod(
+            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) + F.lit(b),
+            F.lit(_MERSENNE),
+        )
+
     cols = [F.col("doc_id")]
     for j, (a, b) in enumerate(_hash_params(k)):
-        h = F.array_min(
-            F.transform(
-                sh,
-                lambda s, a=a, b=b: F.pmod(
-                    F.lit(a) * F.xxhash64(s) + F.lit(b), F.lit(_MERSENNE)
-                ),
-            )
-        )
-        cols.append(h.alias(f"mh_{j}"))
+        cols.append(F.array_min(F.transform(sh, perm(a, b))).alias(f"mh_{j}"))
     return df.select(*cols)
 
 
@@ -190,14 +192,15 @@ def simhash(df: DataFrame, bits: int = 32, col: str = "text") -> DataFrame:
     (+1/-1) votes via aggregate(), then recombine.  No explode, no shuffle.
     """
     toks = tokens_col(col)
+
+    def voter(bit: int):
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bit_cols = []
     for bit in range(bits):
-        vote = F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t, bit=bit: acc
-            + F.when(F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(toks, F.lit(0).cast("long"), voter(bit))
         bit_cols.append(F.when(vote > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0)))
     total = bit_cols[0]
     for c in bit_cols[1:]:

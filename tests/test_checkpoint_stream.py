@@ -1,0 +1,89 @@
+"""Checkpointed resume (idempotence after a simulated kill) and the
+Structured Streaming extraction path."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pgstosrt_spark.fixtures.corpus import synthesize_documents
+from pgstosrt_spark.metrics import committed_batches, pending_documents, run_with_checkpoints
+from pgstosrt_spark.pipeline import extract
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_checkpoint_resume_idempotent(spark, tmp_path):
+    out = str(tmp_path / "ckpt")
+    docs = synthesize_documents(spark, SF_DIR).limit(40).cache()
+    n_docs = docs.count()
+
+    # run 1: simulate a kill after 2 of 4 batches
+    first = run_with_checkpoints(spark, docs, out, n_batches=4, max_batches=2)
+    assert len(first) == 2
+    assert committed_batches(out) == sorted(first)
+    pend = pending_documents(docs, out, n_batches=4)
+    assert 0 < pend.count() < n_docs
+
+    # snapshot data written so far, then resume
+    sizes_before = {
+        b: os.path.getmtime(os.path.join(out, "_manifest", f"{b}.json")) for b in first
+    }
+    second = run_with_checkpoints(spark, docs, out, n_batches=4)
+    assert sorted(first + second) == [0, 1, 2, 3]
+    # committed batches were NOT recomputed (manifests untouched)
+    for b, mtime in sizes_before.items():
+        assert os.path.getmtime(os.path.join(out, "_manifest", f"{b}.json")) == mtime
+
+    # union of all batch outputs == direct extraction
+    written = spark.read.parquet(os.path.join(out, "data"))
+    direct = extract(docs)
+    assert written.count() == n_docs == direct.count()
+    a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in written.collect()}
+    b = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in direct.collect()}
+    assert a == b
+
+    # metrics side-channel landed with per-span lineage
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    m = metrics.filter(F.col("kind") == "_metric").limit(1).collect()
+    assert m and "bytes" in json.loads(m[0]["text"])
+
+    # third run: nothing left to do
+    assert run_with_checkpoints(spark, docs, out, n_batches=4) == []
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    from pgstosrt_spark.streaming.extract_stream import extract_stream, read_documents_stream
+
+    src = str(tmp_path / "stream_src")
+    docs = synthesize_documents(spark, SF_DIR).limit(12)
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = extract_stream(read_documents_stream(spark, src))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("extract_out")
+        .option("checkpointLocation", str(tmp_path / "stream_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT doc_id, offset, seq, kind, text, media_ref FROM extract_out"
+    )
+    from pgstosrt_spark.pipeline import extract_cue_rows, explode_spans, split_side_channel
+
+    batch_docs = spark.read.parquet(src)
+    cues, _ = split_side_channel(extract_cue_rows(batch_docs))
+    text_rows = (
+        explode_spans(batch_docs)
+        .filter(F.col("kind") == "text")
+        .select("doc_id", "offset", F.lit(0).alias("seq"), "kind", "text", "media_ref")
+    )
+    want = text_rows.unionByName(cues)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

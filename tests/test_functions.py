@@ -1,0 +1,115 @@
+"""Semantics tests for the hash-sketch and ANN operators that have no SQL
+oracle (minhash/simhash: xxhash64; IVF: centroid argmax) — verified against
+brute-force ground truth instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgstosrt_spark.functions import dedup as dd
+from pgstosrt_spark.functions import similarity as sim
+from pgstosrt_spark.multimodal import media_stats, media_table, probe_media
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # add exact and near duplicates so the dedup ops have positives
+    dup = base.limit(5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), F.col("text")
+    )
+    near = base.limit(5).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail suffix token")).alias("text"),
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    res = dd.exact_dedup(docs)
+    groups = {r["n_docs"] for r in res.collect()}
+    assert 2 in groups  # the 5 planted exact dups
+    assert res.filter(F.col("n_docs") == 2).count() == 5
+
+
+def test_minhash_lsh_vs_exact_jaccard(spark, docs):
+    """LSH candidates verified by exact jaccard must be a subset of the
+    all-pairs jaccard result, and catch the planted near-dups."""
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+    # planted near-dups (same text + small suffix) must be found
+    planted = {(a, a + 20_000) for a in range(5)}
+    assert planted <= set(lsh), f"missed {planted - set(lsh)}"
+    # planted exact dups have jaccard 1.0
+    assert all(lsh[(a, a + 10_000)] == 1.0 for a in range(5))
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.simhash_pairs(docs, max_hamming=3).collect()}
+    # exact dups have identical fingerprints (hamming 0)
+    assert {(a, a + 10_000) for a in range(5)} <= pairs
+    sig = dd.simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert all(vals[a] == vals[a + 10_000] for a in range(5))
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = sim.cosine_topk_bruteforce(emb, queries, k=10)
+    ivf = sim.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8)
+    bf_sets = {}
+    for r in bf.collect():
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf_sets = {}
+    for r in ivf.collect():
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls  # nprobe=8/16 cells
+
+
+def test_embedding_near_dup_planted(spark, emb):
+    # plant an exact duplicate vector
+    dup = emb.limit(1).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label")
+    res = sim.embedding_near_dup(emb.unionByName(dup), threshold=0.999)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in res.collect()}
+    assert (0, 10_000) in pairs
+
+
+def test_multimodal_probe(spark):
+    from pgstosrt_spark.fixtures.corpus import synthesize_documents
+
+    docs = synthesize_documents(spark, SF_DIR)
+    media = media_table(docs.limit(20))
+    stats = media_stats(media).collect()
+    assert all(r["media_type"] in ("pgs", "pgs-mkv") for r in stats)
+    probed = probe_media(media).collect()
+    pgs_rows = [r for r in probed if r["media_type"] == "pgs"]
+    assert pgs_rows and all(r["width"] == 1920 and r["n_units"] >= 1 for r in pgs_rows)
+    assert all(r["n_bytes"] > 0 for r in probed)
+
+
+def test_image_decode_stub_raises():
+    from pgstosrt_spark.multimodal import image_decode_kernel
+
+    with pytest.raises(NotImplementedError):
+        next(image_decode_kernel(iter([])))
