@@ -31,7 +31,12 @@ def _build_corpus_cache(spark, sf_dir: str, cache_dir: str) -> str:
     path = os.path.join(cache_dir, tag, "documents_interleaved")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        synthesize_documents(spark, sf_dir).write.mode("overwrite").parquet(path)
+        # parallel file layout: the driver's source parquet is one small
+        # file; repartition so every downstream scan parallelizes
+        n = max(spark.sparkContext.defaultParallelism * 2, 64)
+        synthesize_documents(spark, sf_dir).repartition(n).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
@@ -39,7 +44,7 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_bench(sf_dir: str, cpus: int, runs: int = 1) -> dict:
+def run_bench(sf_dir: str, cpus: int, runs: int = 2) -> dict:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(cpus))
     from pyspark.sql import functions as F
 

@@ -163,4 +163,7 @@ def synthesize_documents(spark, sf_dir: str):
     from ..sources.tables import DOCUMENTS_SCHEMA
 
     src = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    slots = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < slots:
+        src = src.repartition(slots)  # encoder kernel is CPU-bound per row
     return src.mapInPandas(corpus_kernel, schema=DOCUMENTS_SCHEMA)

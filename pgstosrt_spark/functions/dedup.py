@@ -148,15 +148,20 @@ def minhash_lsh_pairs(
     """
     rows = k // bands
     sig = minhash_signature(df, k=k, n=n, col=col)
-    band_rows = None
-    for bidx in range(bands):
-        cols = [F.col(f"mh_{bidx * rows + r}") for r in range(rows)]
-        part = sig.select(
-            "doc_id",
+    # single pass: one (band, bucket) struct array exploded — a union of
+    # per-band selects would recompute the whole signature per band
+    band_structs = [
+        F.struct(
             F.lit(bidx).alias("band"),
-            F.xxhash64(*cols).alias("bucket"),
+            F.xxhash64(*[F.col(f"mh_{bidx * rows + r}") for r in range(rows)]).alias(
+                "bucket"
+            ),
         )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+        for bidx in range(bands)
+    ]
+    band_rows = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
@@ -216,15 +221,18 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, col: str = "text") -> Dat
     verify with bit_count.  Output: doc_a, doc_b, hamming.
     """
     sig = simhash(df, col=col)
-    bands = None
-    for i in range(4):
-        part = sig.select(
-            "doc_id",
-            "simhash",
+    chunk_structs = [
+        F.struct(
             F.lit(i).alias("band"),
             F.shiftright("simhash", i * 8).bitwiseAND(F.lit(0xFF)).alias("chunk"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for i in range(4)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("bb")
+    ).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -64,13 +64,21 @@ def extract_cue_rows(
     documents: DataFrame,
     mode: str = "fused",
     backend: OcrBackend | None = None,
-    balance: bool = False,
+    balance: bool | str = "auto",
     rebalance_partitions: int | None = None,
     skip_merge: bool = False,
     force_merge_all: bool = False,
     multi_object_opacity_fix: bool = False,
 ) -> DataFrame:
-    """Media spans -> cue/metric/error rows (flat), pre-re-aggregation."""
+    """Media spans -> cue/metric/error rows (flat), pre-re-aggregation.
+
+    ``balance='auto'`` repartitions the media rows only when the input has
+    fewer partitions than the cluster has slots: the decode+OCR kernel is
+    CPU-bound per *row*, which byte-based file splitting cannot see, so a
+    small/compacted input would otherwise serialize the expensive stage.
+    At production scale (input partitions >> slots) this is a no-op — the
+    payload bytes never shuffle.
+    """
     spans = explode_spans(documents)
     media = spans.filter(F.col("kind") == "media").select(
         "doc_id",
@@ -78,9 +86,11 @@ def extract_cue_rows(
         "media_ref",
         F.unbase64(F.col("text")).alias("payload"),  # JVM-side base64 decode
     )
+    slots = media.sparkSession.sparkContext.defaultParallelism
+    if balance == "auto":
+        balance = documents.rdd.getNumPartitions() < slots
     if balance:
-        n = rebalance_partitions or media.sparkSession.sparkContext.defaultParallelism
-        media = media.repartition(n)
+        media = media.repartition(rebalance_partitions or slots)
 
     if mode == "fused":
         return media.mapInPandas(

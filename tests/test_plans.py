@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the optimizations the engine relies on must
+actually appear in the executed plan (predicate pushdown, column pruning,
+broadcast joins, partial aggregation) — SURVEY.md §4.3 / the scale story.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pgstosrt_spark.operators import relational as rel
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    return jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(rel.filter_project(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,click)" in plan.replace(" ", "").replace("'", "") or (
+        "event_type" in plan and "PushedFilters: []" not in plan
+    )
+    # column pruning: props (unused) must not be read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "props" not in read_schema[0]
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = _plan(rel.broadcast_join_enrich(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # map-side combine: HashAggregate appears both before and after Exchange
+    plan = _plan(rel.pricing_summary(spark, SF_DIR), mode="simple")
+    first_exchange = plan.find("Exchange")
+    assert first_exchange > 0
+    assert "HashAggregate" in plan[first_exchange:]
+    assert "HashAggregate" in plan[:first_exchange] or "partial" in plan.lower()
+
+
+def test_extraction_plan_single_pass_no_payload_shuffle(spark):
+    """Fused mode: the only Exchange is the final groupBy(doc_id) of small
+    string rows — base64 payloads never shuffle."""
+    import base64
+
+    from pgstosrt_spark.fixtures import encoder as enc
+    from pgstosrt_spark.pipeline import extract
+    from pgstosrt_spark.sources.tables import DOCUMENTS_SCHEMA
+
+    payload = base64.b64encode(enc.build_sup_from_cues([("X", 90_000, 180_000)])).decode()
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "d",
+                "spans": [
+                    {"kind": "media", "text": payload, "media_ref": "pgs://d/0", "offset": 0}
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    plan = _plan(extract(docs, balance=False), mode="simple")
+    # the kernel runs BEFORE any exchange; exchanges appear only above it
+    kernel_pos = plan.find("MapInPandas")
+    assert kernel_pos > 0
+    below_kernel = plan[kernel_pos:]
+    assert "Exchange" not in below_kernel, "payload bytes would shuffle"
+
+    # auto mode on an under-partitioned input adds exactly the rebalance
+    plan_auto = _plan(extract(docs.coalesce(1), balance="auto"), mode="simple")
+    kernel_pos = plan_auto.find("MapInPandas")
+    assert "Exchange" in plan_auto[kernel_pos:], "auto-balance should engage"
