@@ -111,24 +111,35 @@ def _hash_params(k: int) -> list[tuple[int, int]]:
 
 
 def minhash_signature(df: DataFrame, k: int = 16, n: int = 3, col: str = "text") -> DataFrame:
-    """doc_id + minhash_0..k-1 columns (xxhash64-based, permutation-free).
+    """-> (doc_id, n_sh, sig: array<long>[k]) — permutation-free MinHash.
 
-    h_j(doc) = min over shingles s of (a_j * xxhash64(s) + b_j) mod M61 —
-    all JVM-side array expressions, no shuffle, no UDF.
+    h_j(doc) = min over shingles s of (a_j * xxhash64(s) + b_j) mod M31,
+    computed as ONE fold over the shingle array: each shingle is hashed
+    once, expanded to k affine candidates, and merged with zip_with/least.
+    The shingle array is materialized in its own projection and referenced
+    twice (size + fold), which stops Catalyst's CollapseProject from
+    re-inlining the shingle computation k times — the naive per-column
+    formulation costs k full tokenizations per row.
     """
-    sh = shingles_col(n, col)
+    params = _hash_params(k)
+    init = F.array(*[F.lit(_MERSENNE).cast("long")] * k)
 
-    # factory keeps the lambda single-arg (PySpark binds HOF lambdas by arity)
-    def perm(a: int, b: int):
-        return lambda s: F.pmod(
-            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) + F.lit(b),
-            F.lit(_MERSENNE),
+    def merge(acc, x):
+        cand = F.array(
+            *[
+                F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
+                for a, b in params
+            ]
         )
+        return F.zip_with(acc, cand, lambda m, c: F.least(m, c))
 
-    cols = [F.col("doc_id")]
-    for j, (a, b) in enumerate(_hash_params(k)):
-        cols.append(F.array_min(F.transform(sh, perm(a, b))).alias(f"mh_{j}"))
-    return df.select(*cols)
+    base = df.select("doc_id", shingles_col(n, col).alias("_sh"))
+    hashed = F.transform("_sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    return base.select(
+        "doc_id",
+        F.size("_sh").alias("n_sh"),
+        F.aggregate(hashed, init, merge).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -147,21 +158,20 @@ def minhash_lsh_pairs(
     Output: doc_a, doc_b, jaccard.
     """
     rows = k // bands
-    sig = minhash_signature(df, k=k, n=n, col=col)
-    # single pass: one (band, bucket) struct array exploded — a union of
-    # per-band selects would recompute the whole signature per band
-    band_structs = [
-        F.struct(
-            F.lit(bidx).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{bidx * rows + r}") for r in range(rows)]).alias(
-                "bucket"
-            ),
-        )
-        for bidx in range(bands)
-    ]
+    # docs with zero shingles all share the init signature — exclude them
+    # instead of letting them bucket-join with each other
+    sig = minhash_signature(df, k=k, n=n, col=col).filter(F.col("n_sh") > 0)
+    # single pass: band buckets as one posexplode over slices of the
+    # signature array — per-band selects would recompute the signature
     band_rows = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("sig", b * rows + F.lit(1), F.lit(rows))),
+            )
+        ).alias("band", "bucket"),
+    )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
@@ -193,24 +203,35 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, bits: int = 32, col: str = "text") -> DataFrame:
     """doc_id, simhash — per-token xxhash64, per-bit majority vote.
 
-    Built as a single select over the token array: for each bit, sum of
-    (+1/-1) votes via aggregate(), then recombine.  No explode, no shuffle.
+    ONE fold over the token array: each token hashed once and expanded to a
+    +1/-1 vote vector merged with zip_with; the vote vector folds to the
+    fingerprint by binary doubling (no per-bit shiftleft, no k-fold
+    re-tokenization).  No explode, no shuffle, no UDF.
     """
-    toks = tokens_col(col)
+    init = F.array(*[F.lit(0).cast("long")] * bits)
 
-    def voter(bit: int):
-        return lambda acc, t: acc + F.when(
-            F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def merge(acc, h):
+        votes = F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .cast("long")
+                for b in range(bits)
+            ]
+        )
+        return F.zip_with(acc, votes, lambda a, v: a + v)
 
-    bit_cols = []
-    for bit in range(bits):
-        vote = F.aggregate(toks, F.lit(0).cast("long"), voter(bit))
-        bit_cols.append(F.when(vote > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0)))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return df.select("doc_id", total.alias("simhash"))
+    base = df.select("doc_id", tokens_col(col).alias("_t"))
+    hashed = F.transform("_t", lambda t: F.xxhash64(t))
+    votes = F.aggregate(hashed, init, merge)
+    # bit b of the fingerprint = votes[b] > 0; recombine MSB-first so that
+    # acc*2 + bit reproduces sum(bit_b << b)
+    sig = F.aggregate(
+        F.reverse(votes),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+    )
+    return base.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, col: str = "text") -> DataFrame:
