@@ -66,6 +66,7 @@ def extract_cue_rows(
     backend: OcrBackend | None = None,
     balance: bool | str = "auto",
     rebalance_partitions: int | None = None,
+    size_threshold: int = 4 << 20,
     skip_merge: bool = False,
     force_merge_all: bool = False,
     multi_object_opacity_fix: bool = False,
@@ -92,22 +93,22 @@ def extract_cue_rows(
     if balance:
         media = media.repartition(rebalance_partitions or slots)
 
-    if mode == "fused":
-        return media.mapInPandas(
-            make_fused_kernel(
-                backend=backend,
-                skip_merge=skip_merge,
-                force_merge_all=force_merge_all,
-                multi_object_opacity_fix=multi_object_opacity_fix,
-            ),
-            schema=CUE_SCHEMA,
-        )
-    if mode == "two_phase":
-        comps = media.mapInPandas(
+    kernel_kw = dict(
+        backend=backend,
+        skip_merge=skip_merge,
+        force_merge_all=force_merge_all,
+        multi_object_opacity_fix=multi_object_opacity_fix,
+    )
+
+    def fused(rows: DataFrame) -> DataFrame:
+        return rows.mapInPandas(make_fused_kernel(**kernel_kw), schema=CUE_SCHEMA)
+
+    def two_phase(rows: DataFrame) -> DataFrame:
+        comps = rows.mapInPandas(
             make_parse_kernel(skip_merge=skip_merge, force_merge_all=force_merge_all),
             schema=COMP_SCHEMA,
         )
-        n = rebalance_partitions or media.sparkSession.sparkContext.defaultParallelism
+        n = rebalance_partitions or slots
         comp_rows = comps.filter(F.col("kind") == "comp").repartition(n)
         cues = comp_rows.mapInPandas(
             make_ocr_kernel(
@@ -124,7 +125,20 @@ def extract_cue_rows(
             "media_ref",
         )
         return cues.unionByName(side)
-    raise ValueError(f"unknown mode: {mode!r} (fused | two_phase)")
+
+    if mode == "fused":
+        return fused(media)
+    if mode == "two_phase":
+        return two_phase(media)
+    if mode == "size_bucketed":
+        # SURVEY.md §4.3.1: small payloads take the no-extra-shuffle fused
+        # path; monster payloads (whose per-composition decode+OCR would
+        # pin one task) take the two-phase split/rebalance path.  The size
+        # predicate is a cheap JVM expression over the already-decoded
+        # binary; results are a bag union, order restored downstream.
+        big = F.octet_length("payload") > size_threshold
+        return fused(media.filter(~big)).unionByName(two_phase(media.filter(big)))
+    raise ValueError(f"unknown mode: {mode!r} (fused | two_phase | size_bucketed)")
 
 
 def split_side_channel(cue_rows: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -144,3 +144,10 @@ def test_skew_doc_many_media_spans(spark):
     two_phase = _collect_spans(extract(docs, mode="two_phase", rebalance_partitions=8))
     assert fused == two_phase
     assert len(fused["skew"]) == 60
+
+
+def test_size_bucketed_matches_fused(spark, small_docs):
+    docs, rows = small_docs
+    # threshold of 2 KB routes some payloads through each path
+    got = _collect_spans(extract(docs, mode="size_bucketed", size_threshold=2048))
+    assert got == _expected(rows)
