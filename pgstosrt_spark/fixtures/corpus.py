@@ -20,6 +20,7 @@ import base64
 import zlib
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ..pgs.decode import decode_media_payload, pack_mkv_packets
 from ..pgs.glyphs import atlas
@@ -165,5 +166,7 @@ def synthesize_documents(spark, sf_dir: str):
     src = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     slots = spark.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < slots:
-        src = src.repartition(slots)  # encoder kernel is CPU-bound per row
+        # hash, not round-robin: plain repartition(n) local-sorts rows first
+        # (sortBeforeRepartition); doc_id is unique so buckets stay balanced
+        src = src.repartition(slots, F.col("doc_id"))  # CPU-bound kernel
     return src.mapInPandas(corpus_kernel, schema=DOCUMENTS_SCHEMA)

@@ -89,9 +89,20 @@ def extract_cue_rows(
     )
     slots = media.sparkSession.sparkContext.defaultParallelism
     if balance == "auto":
-        balance = documents.rdd.getNumPartitions() < slots
+        # The session asks the scan for >= 4x slots splits
+        # (spark.sql.files.minPartitionNum — scan-level, no shuffle); the
+        # fallback below only fires for inputs the scan cannot split
+        # (unsplittable codecs, a single giant row group).
+        balance = documents.rdd.getNumPartitions() < 2 * slots
     if balance:
-        media = media.repartition(rebalance_partitions or slots)
+        # Hash repartition, NOT round-robin: plain repartition(n) local-sorts
+        # every column first (spark.sql.execution.sortBeforeRepartition, for
+        # retry determinism), which is pathological for multi-KB payload
+        # bytes.  Hash partitioning is deterministic by key, so it skips
+        # that sort; (doc_id, offset) is unique per media span -> balanced.
+        media = media.repartition(
+            rebalance_partitions or 4 * slots, F.col("doc_id"), F.col("offset")
+        )
 
     kernel_kw = dict(
         backend=backend,
@@ -108,8 +119,13 @@ def extract_cue_rows(
             make_parse_kernel(skip_merge=skip_merge, force_merge_all=force_merge_all),
             schema=COMP_SCHEMA,
         )
-        n = rebalance_partitions or slots
-        comp_rows = comps.filter(F.col("kind") == "comp").repartition(n)
+        n = rebalance_partitions or 4 * slots
+        # hash, not round-robin: avoids the sortBeforeRepartition local sort
+        # of the pickled-composition binaries; (doc_id, offset, seq) is
+        # unique per composition, so buckets stay balanced.
+        comp_rows = comps.filter(F.col("kind") == "comp").repartition(
+            n, F.col("doc_id"), F.col("offset"), F.col("seq")
+        )
         cues = comp_rows.mapInPandas(
             make_ocr_kernel(
                 backend=backend, multi_object_opacity_fix=multi_object_opacity_fix

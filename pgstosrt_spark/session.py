@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # CPU-bound kernels need even waves even when the corpus is small or
+        # compacted: ask the file scan for >= 4x slots splits (a scan-level
+        # knob — no shuffle, unlike repartition, whose round-robin mode
+        # local-sorts every row including multi-KB payload bytes).  At
+        # production scale input splits >> 4x slots, so this is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(4 * cpus))
     )
     if extra_conf:
         for k, v in extra_conf.items():
