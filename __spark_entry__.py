@@ -87,6 +87,14 @@ def _q_extract_metrics(spark, sf_dir):
     return side.select("doc_id", "offset", "kind", "media_ref", "text")
 
 
+def _q_srt_render(spark, sf_dir):
+    from pgstosrt_spark.fixtures.corpus import synthesize_documents
+    from pgstosrt_spark.pipeline import render_srt_documents
+
+    docs = synthesize_documents(_utc(spark), sf_dir)
+    return render_srt_documents(docs)
+
+
 # ----------------------------------------------------------------- queries
 
 
@@ -105,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_interleaved": _q_extract_fused,
         "extract_two_phase": _q_extract_two_phase,
         "extract_metrics": _q_extract_metrics,
+        "srt_render": _q_srt_render,
         # relational skeleton (SURVEY.md §2.6) — DuckDB-verified
         "pricing_summary": lambda s, sf: rel.pricing_summary(_utc(s), sf),
         "filter_project": lambda s, sf: rel.filter_project(_utc(s), sf),
@@ -314,8 +323,8 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk <= 10
         """,
         # omitted on purpose (rows-only driver check; pinned in tests/):
-        #   extract_interleaved / extract_two_phase / extract_metrics —
-        #     PGS binary kernels + OCR, not SQL-expressible;
+        #   extract_interleaved / extract_two_phase / extract_metrics /
+        #   srt_render — PGS binary kernels + OCR, not SQL-expressible;
         #   minhash_lsh_dups / simhash_fingerprint / simhash_dups —
         #     xxhash64 has no DuckDB equivalent;
         #   ann_ivf_topk / embedding_near_dup — centroid argmax assignment

@@ -25,6 +25,8 @@ import time
 
 
 def _build_corpus_cache(spark, sf_dir: str, cache_dir: str) -> str:
+    from pyspark.sql import functions as F
+
     from pgstosrt_spark.fixtures.corpus import synthesize_documents
 
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -32,12 +34,54 @@ def _build_corpus_cache(spark, sf_dir: str, cache_dir: str) -> str:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         # parallel file layout: the driver's source parquet is one small
-        # file; repartition so every downstream scan parallelizes
+        # file; repartition (hash — round-robin would local-sort payloads)
+        # so every downstream scan parallelizes
         n = max(spark.sparkContext.defaultParallelism * 2, 64)
-        synthesize_documents(spark, sf_dir).repartition(n).write.mode(
+        synthesize_documents(spark, sf_dir).repartition(n, F.col("doc_id")).write.mode(
             "overwrite"
         ).parquet(path)
     return path
+
+
+def _replicate_corpus(spark, corpus: str, factor: int) -> str:
+    """Deterministic xN replication: the extraction headline should measure
+    the work-dominated regime (the 10^12-doc spec), not job constants."""
+    from pyspark.sql import functions as F
+
+    if factor <= 1:
+        return corpus
+    rep_path = f"{corpus}_x{factor}"
+    if not os.path.exists(os.path.join(rep_path, "_SUCCESS")):
+        (
+            spark.read.parquet(corpus)
+            .select(
+                F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_r"),
+                "doc_id",
+                "spans",
+            )
+            .select(F.concat_ws("-", "doc_id", "_r").alias("doc_id"), "spans")
+            .repartition(128, F.col("doc_id"))
+            .write.mode("overwrite")
+            .parquet(rep_path)
+        )
+    return rep_path
+
+
+def _wait_quiet(limit: float = 60.0, thresh: float = 2.0) -> None:
+    """Gate timed runs on a quiet co-tenant window (see BASELINE.md)."""
+
+    def cpu():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+
+    t0 = time.time()
+    while time.time() - t0 < limit:
+        a = cpu()
+        time.sleep(1.5)
+        b = cpu()
+        d = [y - x for x, y in zip(a, b)]
+        if sum(d) and 100.0 * d[7] / sum(d) < thresh:
+            return
 
 
 def _noop(df) -> None:
@@ -56,6 +100,9 @@ def run_bench(sf_dir: str, cpus: int, runs: int = 2) -> dict:
     spark = get_spark("pgstosrt-bench", cpus=cpus)
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     corpus_path = _build_corpus_cache(spark, sf_dir, cache_dir)
+    corpus_path = _replicate_corpus(
+        spark, corpus_path, int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+    )
     docs = read_documents(spark, corpus_path)
     n_docs = docs.count()
 
@@ -65,6 +112,7 @@ def run_bench(sf_dir: str, cpus: int, runs: int = 2) -> dict:
     def timed(name: str, thunk) -> None:
         best = None
         for _ in range(runs):
+            _wait_quiet()
             t0 = time.perf_counter()
             thunk()
             dt = time.perf_counter() - t0
@@ -98,7 +146,8 @@ def run_bench(sf_dir: str, cpus: int, runs: int = 2) -> dict:
 
     extract_sec = timings["extract_fused"]
     result = {
-        "metric": "extraction wall-clock (fused pipeline, interleaved corpus)",
+        "metric": "extraction wall-clock (fused pipeline, interleaved corpus "
+        "replicated into the work-dominated regime; quiet-window-gated best-of)",
         "value": extract_sec,
         "unit": "sec",
         "queries": timings,

@@ -36,22 +36,52 @@ import time
 
 CHILD_SNIPPET = r"""
 import json, os, sys, time
-cpus, corpus, inner = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+cpus, corpus, inner, ref = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), float(sys.argv[4])
 os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
 sys.path.insert(0, os.getcwd())
 from pgstosrt_spark.pipeline import extract
 from pgstosrt_spark.session import get_spark
 from pgstosrt_spark.sources.tables import read_documents
 
+def spin_rate(dur=0.5):
+    # single-proc CPU spin: a direct host-speed probe.  Co-tenant
+    # interference on this VM mostly does NOT appear as steal time (it
+    # shows up as reduced effective CPU speed), so gating on steal is not
+    # enough — gate on the host actually running at full speed.
+    t0 = time.perf_counter(); n = 0; x = 1.0
+    while time.perf_counter() - t0 < dur:
+        for _ in range(20000):
+            x = x * 1.0000001 % 7
+        n += 20000
+    return n / (time.perf_counter() - t0)
+
+best_rate = ref
+def wait_fast(limit=240.0, frac=0.94):
+    global best_rate
+    t0 = time.time()
+    while time.time() - t0 < limit:
+        r = spin_rate()
+        best_rate = max(best_rate, r)
+        if r >= frac * best_rate:
+            return r
+        time.sleep(3.0)
+    return spin_rate()
+
 spark = get_spark("pgstosrt-scaling", cpus=cpus)
 docs = read_documents(spark, corpus)
 n = docs.count()
-secs = []
+extract(docs.limit(256)).write.format("noop").mode("overwrite").save()  # spin up workers
+secs, pre, post = [], [], []
 for _ in range(inner):
+    r0 = wait_fast()
     t0 = time.perf_counter()
     extract(docs).write.format("noop").mode("overwrite").save()
     secs.append(time.perf_counter() - t0)
-print(json.dumps({"cpus": cpus, "docs": n, "secs": secs}))
+    pre.append(round(r0 / best_rate, 3))
+    post.append(round(spin_rate() / best_rate, 3))
+print(json.dumps({"cpus": cpus, "docs": n, "secs": secs,
+                  "host_speed_pre": pre, "host_speed_post": post,
+                  "best_rate": best_rate}))
 spark.stop()
 """
 
@@ -80,9 +110,51 @@ def spin_ceiling(pairs: list[tuple[int, int]], dur: float = 5.0) -> dict:
     }
 
 
-def run_launch(corpus: str, cpus: int, inner: int) -> dict:
+_WL_PAYLOADS: list[bytes] = []
+
+
+def _wl_work(dur: float) -> int:
+    from pgstosrt_spark.pgs.decode import decode_media_payload
+
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < dur:
+        decode_media_payload(_WL_PAYLOADS[n % len(_WL_PAYLOADS)])
+        n += 1
+    return n
+
+
+def workload_ceiling(corpus: str, pairs: list[tuple[int, int]], dur: float = 10.0) -> dict:
+    """The extraction workload itself under plain multiprocessing — zero
+    Spark — at the same process counts: the truest per-workload host
+    ceiling (memory-system contention included, framework excluded)."""
+    import base64
+
+    import duckdb
+
+    global _WL_PAYLOADS
+    rows = duckdb.sql(
+        "select s.text from (select unnest(spans) as s from "
+        f"read_parquet('{corpus}/*.parquet') limit 4000) where s.kind='media' limit 500"
+    ).fetchall()
+    _WL_PAYLOADS = [base64.b64decode(r[0]) for r in rows]
+    from multiprocessing import Pool
+
+    rates: dict[int, float] = {}
+    for nproc in sorted({p for pair in pairs for p in pair}):
+        best = 0.0
+        for _ in range(2):
+            with Pool(nproc) as pool:
+                best = max(best, sum(pool.map(_wl_work, [dur] * nproc)) / dur)
+        rates[nproc] = best
+    return {
+        f"{lo}->{hi}": round(rates[hi] / (4 * rates[lo]), 3) for lo, hi in pairs
+    }
+
+
+def run_launch(corpus: str, cpus: int, inner: int, ref_rate: float) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD_SNIPPET, str(cpus), corpus, str(inner)],
+        [sys.executable, "-c", CHILD_SNIPPET, str(cpus), corpus, str(inner), str(ref_rate)],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -141,14 +213,26 @@ def main() -> None:
     pairs = [(4, 16)] + ([] if args.skip_supplementary else [(8, 32)])
     levels = sorted({p for pair in pairs for p in pair})
     samples: dict[int, list[float]] = {lv: [] for lv in levels}
+    speeds: dict[int, list] = {lv: [] for lv in levels}
     n_docs = 0
+    # host-speed reference: best single-proc spin rate over a few spaced
+    # probes; children self-calibrate upward from it
+    ref_rate = 0.0
+    for _ in range(3):
+        ref_rate = max(ref_rate, _spin(0.5) / 0.5)
+        time.sleep(5)
     for _ in range(args.launches):  # interleave levels across launches
         for lv in levels:
-            r = run_launch(corpus, lv, args.inner)
+            r = run_launch(corpus, lv, args.inner, ref_rate)
             n_docs = r["docs"]
             samples[lv].extend(r["secs"])
+            speeds[lv].extend(
+                list(zip(r.get("host_speed_pre", []), r.get("host_speed_post", [])))
+            )
+            ref_rate = max(ref_rate, r.get("best_rate", 0.0))
 
     ceiling = spin_ceiling(pairs)
+    wl_ceiling = workload_ceiling(corpus, pairs)
 
     def tput(lv: int) -> float:
         return n_docs / min(samples[lv])
@@ -157,6 +241,7 @@ def main() -> None:
         lv: {
             "cpus": lv,
             "runs_sec": [round(s, 2) for s in samples[lv]],
+            "host_speed": speeds[lv],
             "best_sec": round(min(samples[lv]), 2),
             "docs_per_sec": round(tput(lv), 1),
         }
@@ -172,6 +257,7 @@ def main() -> None:
         "levels": rows,
         "efficiency": effs,
         "hardware_ceiling_spin": ceiling,
+        "workload_ceiling_multiproc": wl_ceiling,
         "primary": "4->16",
         "scaling_efficiency": primary,
         "target": 0.8,
@@ -181,11 +267,11 @@ def main() -> None:
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
 
     level_rows = "\n".join(
-        f"| local[{lv}] | {rows[lv]['runs_sec']} | {rows[lv]['best_sec']} | {rows[lv]['docs_per_sec']} |"
+        f"| local[{lv}] | {rows[lv]['runs_sec']} | {rows[lv]['host_speed']} | {rows[lv]['best_sec']} | {rows[lv]['docs_per_sec']} |"
         for lv in levels
     )
     eff_rows = "\n".join(
-        f"| {pair} | {effs[pair]} | {ceiling[pair]} | {round(effs[pair]/ceiling[pair], 2)} |"
+        f"| {pair} | {effs[pair]} | {ceiling[pair]} | {wl_ceiling[pair]} | {round(effs[pair]/wl_ceiling[pair], 2)} |"
         for pair in effs
     )
     with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
@@ -201,18 +287,27 @@ cores"); supplementary: local[8] vs local[32].
 
 Methodology (BASELINE.md): fresh JVM per launch; launches interleaved
 across levels ({args.launches} launches x {args.inner} timed in-JVM repeats per level);
-best-of pooled per level — this host is a co-tenant-oversubscribed VM where
+every timed run gated on a fast-host window — a single-process CPU spin
+probe must reach >= 94% of the best spin rate ever observed this session
+before the timed run starts (co-tenant interference on this VM mostly does
+NOT appear as steal time; it appears as reduced effective CPU speed, which
+the probe measures directly).  The probe ratio immediately before and
+after each run is recorded below as (pre, post); a run bracketed by
+~1.0/~1.0 executed on a fast host.  Best-of pooled per level —
 identical runs vary >10x under interference bursts, and interference only
-ever adds time.  ``hardware ceiling`` is a same-session pure-CPU
-multiprocessing spin loop at the same process counts — the best any
-software could scale on this host.
+ever adds time.  Two ceilings accompany the measurement: ``spin`` is a
+pure-CPU multiprocessing spin loop at the same process counts
+(scheduler/steal effects only), and ``workload`` is the extraction kernel
+itself (decode_media_payload) under plain multiprocessing with zero Spark —
+the truest bound for what this computation can scale to on this host
+(memory-system contention included, framework excluded).
 
-| level | runs (sec) | best (sec) | throughput (docs/sec) |
-|---|---|---|---|
+| level | runs (sec) | host speed (pre, post) | best (sec) | throughput (docs/sec) |
+|---|---|---|---|---|
 {level_rows}
 
-| pair | measured efficiency | hardware ceiling (spin) | measured / ceiling |
-|---|---|---|---|
+| pair | measured efficiency | spin ceiling | workload ceiling | measured / workload ceiling |
+|---|---|---|---|---|
 {eff_rows}
 
 **Primary scaling efficiency (4 -> 16 cores)** =

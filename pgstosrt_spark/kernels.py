@@ -44,17 +44,6 @@ COMP_SCHEMA = (
 )
 
 
-def _metric_row(doc_id: str, offset: int, media_ref: str, **counters) -> dict:
-    return {
-        "doc_id": doc_id,
-        "offset": offset,
-        "seq": 0,
-        "kind": "_metric",
-        "text": json.dumps(counters, sort_keys=True),
-        "media_ref": media_ref,
-    }
-
-
 def make_fused_kernel(
     backend: OcrBackend | None = None,
     skip_merge: bool = False,
@@ -64,12 +53,28 @@ def make_fused_kernel(
     """Fused K-parse∘K-decode∘K-ocr over (doc_id, offset, media_ref, payload)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else -1
         ocr = backend or GlyphAtlasOcr()
         for pdf in batches:
-            rows: list[dict] = []
+            # column-list accumulation + .tolist() iteration: pandas Series
+            # item access and list-of-dicts DataFrame construction cost
+            # ~20% of the whole kernel at scale; plain python lists don't
+            c_doc: list = []
+            c_off: list = []
+            c_seq: list = []
+            c_kind: list = []
+            c_text: list = []
+            c_ref: list = []
             for doc_id, offset, media_ref, payload in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["payload"]
+                pdf["doc_id"].tolist(),
+                pdf["offset"].tolist(),
+                pdf["media_ref"].tolist(),
+                pdf["payload"].tolist(),
             ):
+                offset = int(offset)
                 t0 = time.perf_counter()
                 try:
                     cues = decode_media_payload(
@@ -80,40 +85,47 @@ def make_fused_kernel(
                         multi_object_opacity_fix=multi_object_opacity_fix,
                     )
                     for seq, text in cues:
-                        rows.append(
+                        c_doc.append(doc_id)
+                        c_off.append(offset)
+                        c_seq.append(seq)
+                        c_kind.append("cue")
+                        c_text.append(text)
+                        c_ref.append(media_ref)
+                    c_doc.append(doc_id)
+                    c_off.append(offset)
+                    c_seq.append(0)
+                    c_kind.append("_metric")
+                    c_text.append(
+                        json.dumps(
                             {
-                                "doc_id": doc_id,
-                                "offset": int(offset),
-                                "seq": seq,
-                                "kind": "cue",
-                                "text": text,
-                                "media_ref": media_ref,
-                            }
-                        )
-                    rows.append(
-                        _metric_row(
-                            doc_id,
-                            int(offset),
-                            media_ref,
-                            cues=len(cues),
-                            bytes=len(payload),
-                            wall_ms=round((time.perf_counter() - t0) * 1e3, 3),
+                                "bytes": len(payload),
+                                "cues": len(cues),
+                                # task partition id: per-partition lineage —
+                                # which physical partition produced each
+                                # span's metrics (north_rule)
+                                "part": part,
+                                "wall_ms": round((time.perf_counter() - t0) * 1e3, 3),
+                            },
+                            sort_keys=True,
                         )
                     )
+                    c_ref.append(media_ref)
                 except Exception as exc:  # never silent (vs PgsOcr.cs:103-106)
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "offset": int(offset),
-                            "seq": 0,
-                            "kind": "_error",
-                            "text": f"{type(exc).__name__}: {exc}",
-                            "media_ref": media_ref,
-                        }
-                    )
+                    c_doc.append(doc_id)
+                    c_off.append(offset)
+                    c_seq.append(0)
+                    c_kind.append("_error")
+                    c_text.append(f"{type(exc).__name__}: {exc}")
+                    c_ref.append(media_ref)
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "offset", "seq", "kind", "text", "media_ref"],
+                {
+                    "doc_id": c_doc,
+                    "offset": c_off,
+                    "seq": c_seq,
+                    "kind": c_kind,
+                    "text": c_text,
+                    "media_ref": c_ref,
+                }
             )
 
     return kernel
@@ -128,6 +140,10 @@ def make_parse_kernel(skip_merge: bool = False, force_merge_all: bool = False):
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else -1
         for pdf in batches:
             rows: list[dict] = []
             for doc_id, offset, media_ref, payload in zip(
@@ -163,6 +179,7 @@ def make_parse_kernel(skip_merge: bool = False, force_merge_all: bool = False):
                                     "comps": len(sets),
                                     "bytes": len(payload),
                                     "parse_ms": round((time.perf_counter() - t0) * 1e3, 3),
+                                    "part": part,
                                 },
                                 sort_keys=True,
                             ),
@@ -198,38 +215,41 @@ def make_ocr_kernel(
 
         ocr = backend or GlyphAtlasOcr()
         for pdf in batches:
-            rows: list[dict] = []
+            c_doc: list = []
+            c_off: list = []
+            c_seq: list = []
+            c_kind: list = []
+            c_text: list = []
+            c_ref: list = []
             for doc_id, offset, seq, media_ref, blob in zip(
-                pdf["doc_id"], pdf["offset"], pdf["seq"], pdf["media_ref"], pdf["pcs"]
+                pdf["doc_id"].tolist(),
+                pdf["offset"].tolist(),
+                pdf["seq"].tolist(),
+                pdf["media_ref"].tolist(),
+                pdf["pcs"].tolist(),
             ):
                 try:
                     pcs: PcsData = pickle.loads(bytes(blob))
                     img = rasterize(pcs, multi_object_opacity_fix=multi_object_opacity_fix)
                     text = ocr.recognize(img)
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "offset": int(offset),
-                            "seq": int(seq),
-                            "kind": "cue",
-                            "text": cue_text(pcs.start, pcs.end, text),
-                            "media_ref": media_ref,
-                        }
-                    )
+                    kind, out = "cue", cue_text(pcs.start, pcs.end, text)
                 except Exception as exc:
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "offset": int(offset),
-                            "seq": int(seq),
-                            "kind": "_error",
-                            "text": f"{type(exc).__name__}: {exc}",
-                            "media_ref": media_ref,
-                        }
-                    )
+                    kind, out = "_error", f"{type(exc).__name__}: {exc}"
+                c_doc.append(doc_id)
+                c_off.append(int(offset))
+                c_seq.append(int(seq))
+                c_kind.append(kind)
+                c_text.append(out)
+                c_ref.append(media_ref)
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "offset", "seq", "kind", "text", "media_ref"],
+                {
+                    "doc_id": c_doc,
+                    "offset": c_off,
+                    "seq": c_seq,
+                    "kind": c_kind,
+                    "text": c_text,
+                    "media_ref": c_ref,
+                }
             )
 
     return kernel

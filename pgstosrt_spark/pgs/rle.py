@@ -46,23 +46,33 @@ def decode_rle_runs(
     would throw IndexOutOfRangeException (buffer overrun).
     """
     total = width * height
-    img = np.full(total, -1, dtype=np.int16)
     p = 0  # pixel cursor (num1)
     col = 0  # column counter (num2)
     i = 0  # byte cursor (num3)
     n = len(buf)
+    # run accumulation: the opcode walk is inherently sequential (EOL cursor
+    # math), but pixel writes are not — collect (start, len, colour) per run
+    # and scatter once, vectorized, afterwards.  Per-run numpy slice writes
+    # were ~60% of RLE decode time.
+    starts: list[int] = []
+    lens: list[int] = []
+    cols: list[int] = []
+    alpha_ok = None if alpha_lut is None else (alpha_lut > 0).tolist()
 
-    def write(run: int, colour: int) -> None:
+    def write(run: int, colour: int) -> int:
         nonlocal p
         if run <= 0:
-            return
+            return 0
         if p + run > total:
             raise DecodeError(
                 f"RLE overrun: cursor {p}+{run} > {total} ({width}x{height})"
             )
-        if alpha_lut is None or alpha_lut[colour] > 0:
-            img[p : p + run] = colour
+        if alpha_ok is None or alpha_ok[colour]:
+            starts.append(p)
+            lens.append(run)
+            cols.append(colour)
         p += run
+        return run
 
     while i < n:
         c = buf[i]
@@ -80,30 +90,47 @@ def decode_rle_runs(
                 if i < n:
                     run = ((b - 0x40) << 8) + buf[i]
                     i += 1
-                    write(run, 0)
                     col += run
+                    write(run, 0)
             elif (b & 0xC0) == 0x80:
                 if i < n:
                     run = b - 0x80
                     colour = buf[i]
                     i += 1
-                    write(run, colour)
                     col += run
+                    write(run, colour)
             elif (b & 0xC0) == 0xC0:
                 if i + 1 < n:
                     run = ((b - 0xC0) << 8) + buf[i]
                     colour = buf[i + 1]
                     i += 2
-                    write(run, colour)
                     col += run
+                    write(run, colour)
             else:  # b < 0x40: short run of colour 0 (:121-127)
-                write(b, 0)
                 col += b
+                write(b, 0)
         else:
             # literal pixel (or trailing lone 0x00 at end of buffer, which
             # the reference also writes as colour 0) (:129-133)
-            write(1, c)
             col += 1
+            write(1, c)
+
+    img = np.full(total, -1, dtype=np.int16)
+    if not starts:
+        return img
+    s = np.asarray(starts, dtype=np.int64)
+    ln = np.asarray(lens, dtype=np.int64)
+    cl = np.asarray(cols, dtype=np.int16)
+    if len(s) == 1 or bool(np.all(s[1:] >= (s + ln)[:-1])):
+        # ordered, non-overlapping runs (the normal case): one scatter
+        off = np.cumsum(ln) - ln
+        pos = np.repeat(s - off, ln) + np.arange(int(ln.sum()), dtype=np.int64)
+        img[pos] = np.repeat(cl, ln)
+    else:
+        # overlapping writes (overfilled row + EOL snap-back): replay in
+        # stream order so later opaque runs win, exactly like the reference
+        for st, l, c0 in zip(starts, lens, cols):
+            img[st : st + l] = c0
     return img
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "assemble_spans",
     "extract",
     "split_side_channel",
+    "render_srt_documents",
 ]
 
 
@@ -195,6 +196,37 @@ def assemble_spans(documents: DataFrame, cue_rows: DataFrame) -> DataFrame:
                 x["offset"].alias("offset"),
             ),
         ).alias("spans"),
+    )
+
+
+def render_srt_documents(documents: DataFrame, **kw) -> DataFrame:
+    """The SRT sink (SURVEY.md §2.5 O5, PgsOcr.cs:59-63): one numbered
+    SubRip document per (doc_id, media_ref), rendered entirely JVM-side.
+
+    Cue spans already carry ``"{start} --> {end}\\n{ocr_text}"``; SubRip
+    blocks are ``"{n}\\r\\n{timecodes}\\r\\n{text}\\r\\n"`` joined with
+    CRLF and a trailing CRLF — byte-identical to pgs.srt.render_srt (the
+    pure-Python oracle pins this in tests/).  One narrow expression over the
+    extracted cue rows: no extra kernel, one groupBy shuffle.
+    """
+    cues, _side = split_side_channel(extract_cue_rows(documents, **kw))
+    grouped = cues.groupBy("doc_id", "media_ref").agg(
+        F.sort_array(F.collect_list(F.struct("offset", "seq", "text"))).alias("cs")
+    )
+    block = lambda x, i: F.concat(  # noqa: E731
+        (i + 1).cast("string"),
+        F.lit("\r\n"),
+        # the first \n separates the timecode line from the OCR text; SubRip
+        # uses CRLF there while embedded text newlines stay as-is
+        F.regexp_replace(x["text"], "^([^\n]*)\n", "$1\r\n"),
+        F.lit("\r\n"),
+    )
+    return grouped.select(
+        "doc_id",
+        "media_ref",
+        F.concat(
+            F.array_join(F.transform("cs", block), "\r\n"), F.lit("\r\n")
+        ).alias("srt"),
     )
 
 

@@ -74,6 +74,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "extract_interleaved",
         "extract_two_phase",
         "extract_metrics",
+        "srt_render",
         "minhash_lsh_dups",
         "simhash_fingerprint",
         "simhash_dups",

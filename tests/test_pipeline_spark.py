@@ -151,3 +151,32 @@ def test_size_bucketed_matches_fused(spark, small_docs):
     # threshold of 2 KB routes some payloads through each path
     got = _collect_spans(extract(docs, mode="size_bucketed", size_threshold=2048))
     assert got == _expected(rows)
+
+
+def test_srt_render_matches_pure_python(spark, small_docs):
+    """O5: Spark-side SubRip rendering == pgs.srt.render_srt byte-for-byte."""
+    from pgstosrt_spark.pgs.decode import decode_media_payload
+    from pgstosrt_spark.pipeline import render_srt_documents
+
+    docs, rows = small_docs
+    got = {
+        (r["doc_id"], r["media_ref"]): r["srt"]
+        for r in render_srt_documents(docs).collect()
+    }
+    expected = {}
+    for d, t in rows:
+        for span in corpus.doc_to_span_rows(d, t):
+            if span["kind"] != "media":
+                continue
+            cues = decode_media_payload(base64.b64decode(span["text"]))
+            blocks = []
+            for _seq, cue in cues:
+                tc, text = cue.split("\n", 1)
+                start, end = tc.split(" --> ")
+                blocks.append((start, end, text))
+            srt = "\r\n".join(
+                f"{n}\r\n{s} --> {e}\r\n{x}\r\n" for n, (s, e, x) in enumerate(blocks, 1)
+            ) + ("\r\n" if blocks else "")
+            if blocks:
+                expected[(d, span["media_ref"])] = srt
+    assert got == expected
