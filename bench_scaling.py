@@ -314,11 +314,13 @@ the truest bound for what this computation can scale to on this host
 throughput(16) / (4 x throughput(4)) = **{primary}**
 (target >= 0.8: {"PASS" if report["pass"] else "FAIL"})
 
-The supplementary 8->32 pair is reported for transparency: its hardware
-ceiling of ~{ceiling.get('8->32', 'n/a')} on this VM (co-tenant steal, measured via
-/proc/stat during runs at up to 46%) means that range cannot evidence
-software scaling on this host; measured/ceiling shows how close the
-pipeline gets to what the hardware allows.
+The supplementary 8->32 pair is reported for transparency.  The ceilings
+are themselves point measurements on a shared host and can come out noisy
+(a value > 1 means the lower-count run of the ceiling probe was itself
+interfered with); the workload ceiling is the more meaningful of the two
+because it runs the actual kernel.  ``measured / workload ceiling`` shows
+how close the Spark pipeline gets to what this computation can do on this
+host with zero framework.
 
 generated {report['generated']}; identical deterministic input at every
 level, warm-up repeat excluded via best-of, noop sink so no collect/write
