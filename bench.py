@@ -67,28 +67,39 @@ def _replicate_corpus(spark, corpus: str, factor: int) -> str:
     return rep_path
 
 
-def _wait_quiet(limit: float = 60.0, thresh: float = 2.0) -> None:
-    """Gate timed runs on a quiet co-tenant window (see BASELINE.md)."""
+_BEST_SPIN = 0.0
 
-    def cpu():
-        with open("/proc/stat") as f:
-            return list(map(int, f.readline().split()[1:]))
 
+def _spin_rate(dur: float = 0.4) -> float:
+    t0 = time.perf_counter()
+    n = 0
+    x = 1.0
+    while time.perf_counter() - t0 < dur:
+        for _ in range(20000):
+            x = x * 1.0000001 % 7
+        n += 20000
+    return n / (time.perf_counter() - t0)
+
+
+def _wait_quiet(limit: float = 90.0, frac: float = 0.94) -> None:
+    """Gate timed runs on a fast-host window (see BASELINE.md): co-tenant
+    interference on this VM shows up as reduced effective CPU speed, not
+    steal time, so probe the speed directly with a short single-proc spin."""
+    global _BEST_SPIN
     t0 = time.time()
     while time.time() - t0 < limit:
-        a = cpu()
-        time.sleep(1.5)
-        b = cpu()
-        d = [y - x for x, y in zip(a, b)]
-        if sum(d) and 100.0 * d[7] / sum(d) < thresh:
+        r = _spin_rate()
+        _BEST_SPIN = max(_BEST_SPIN, r)
+        if r >= frac * _BEST_SPIN:
             return
+        time.sleep(3.0)
 
 
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_bench(sf_dir: str, cpus: int, runs: int = 2) -> dict:
+def run_bench(sf_dir: str, cpus: int, runs: int = 3) -> dict:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(cpus))
     from pyspark.sql import functions as F
 
