@@ -3,10 +3,12 @@
 Scale design (100 TB):
   * exact dedup      — one shuffle on a 16-byte hash; map-side partial agg.
   * n-gram Jaccard   — shingle explode -> equi-join on shingle -> per-pair
-                       agg.  The shingle join is the standard candidate
-                       generator; hot shingles are the skew risk, handled
-                       by dropping top-frequency shingles (stop-shingles),
-                       like dropping stop-words in web dedup.
+                       agg.  This is the *exact* baseline (and the DuckDB
+                       oracle's definition); its shingle self-join is
+                       quadratic in hot-shingle frequency, which is exactly
+                       why the MinHash+LSH variant below is the 10^12-doc
+                       path — at scale, run LSH and reserve exact Jaccard
+                       for verifying the candidate pairs.
   * MinHash + LSH    — k=16 permutation-free min-hashes via xxhash64
                        (JVM-side), banded 4x4; candidate pairs join on the
                        band key (tiny vs all-pairs), verified by exact
