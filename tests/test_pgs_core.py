@@ -393,3 +393,34 @@ def test_non_transparent_extent():
     assert non_transparent_height(np.zeros((5, 5, 4), dtype=np.uint8)) == 0
     assert images_equal(img, img.copy())
     assert not images_equal(img, np.zeros_like(img))
+
+
+def test_rle_overfilled_row_overlap_replay():
+    """The vectorized scatter must detect overlapping runs (overfilled row +
+    EOL snap-back, BluRaySupParserExtensions.cs:72-77) and fall back to
+    stream-order replay where later opaque runs win."""
+    import numpy as np
+
+    from pgstosrt_spark.pgs.rle import decode_rle_runs
+
+    # width=4: run(colour 1, len 6) overfills row 0 into row 1; EOL snaps
+    # the cursor back to pixel 4 (col 6 >= width -> no +width); run(colour
+    # 2, len 4) then OVERLAPS pixels 4..5 and must overwrite colour 1.
+    buf = bytes(
+        [0x00, 0x86, 0x01]  # run colour 1, len 6
+        + [0x00, 0x00]      # EOL -> p=4
+        + [0x00, 0x84, 0x02]  # run colour 2, len 4 (overlaps 4..5)
+        + [0x00, 0x00]      # EOL -> p=8
+        + [0x00, 0x84, 0x03]  # run colour 3, len 4
+    )
+    img = decode_rle_runs(buf, 4, 3)
+    assert img.tolist() == [1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3]
+
+    # same stream with colour 2 fully transparent: its run is skipped (the
+    # cursor still advances), so the colour-1 overflow pixels survive and
+    # 6..7 stay never-written — and with the overlapping run dropped, the
+    # remaining runs are disjoint (fast scatter path), same semantics.
+    alpha = np.full(256, 255, dtype=np.uint8)
+    alpha[2] = 0
+    img2 = decode_rle_runs(buf, 4, 3, alpha_lut=alpha)
+    assert img2.tolist() == [1, 1, 1, 1, 1, 1, -1, -1, 3, 3, 3, 3]
