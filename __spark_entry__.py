@@ -245,8 +245,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
-                SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM flagged
             )
             SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,

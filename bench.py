@@ -84,8 +84,17 @@ def _spin_rate(dur: float = 0.4) -> float:
 def _wait_quiet(limit: float = 90.0, frac: float = 0.94) -> None:
     """Gate timed runs on a fast-host window (see BASELINE.md): co-tenant
     interference on this VM shows up as reduced effective CPU speed, not
-    steal time, so probe the speed directly with a short single-proc spin."""
+    steal time, so probe the speed directly with a short single-proc spin.
+
+    The calibration ceiling is seeded with spaced probes before the first
+    gate (an un-seeded gate is vacuous: best=r always passes, so the first
+    timed run of the process would be taken blind — this is exactly how the
+    round-1 bench recorded a 4x-inflated fused-extraction time)."""
     global _BEST_SPIN
+    if _BEST_SPIN == 0.0:
+        for _ in range(3):
+            _BEST_SPIN = max(_BEST_SPIN, _spin_rate())
+            time.sleep(1.0)
     t0 = time.time()
     while time.time() - t0 < limit:
         r = _spin_rate()

@@ -49,6 +49,16 @@ def build_session(app: str):
     )
 
 
+def _tune_scan_parallelism(spark) -> None:
+    """Set spark.sql.files.minPartitionNum >= 4x slots (same rationale as
+    session.get_spark): the CPU-bound kernels need at least a few waves of
+    scan splits even when the input is small/compacted.  Must run after
+    getOrCreate() because defaultParallelism (executors x cores) is only
+    known once the session exists."""
+    slots = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.files.minPartitionNum", str(4 * slots))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents table (parquet dir)")
@@ -63,6 +73,7 @@ def main() -> None:
     from pgstosrt_spark.sources.tables import read_documents
 
     spark = build_session("pgstosrt-extract")
+    _tune_scan_parallelism(spark)
     docs = read_documents(spark, args.input)
     committed = run_with_checkpoints(
         spark,

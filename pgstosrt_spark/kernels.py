@@ -76,6 +76,12 @@ def make_fused_kernel(
             ):
                 offset = int(offset)
                 t0 = time.perf_counter()
+                # buffer this payload's (seq, kind, text) rows locally and
+                # flush to the column lists only after try/except resolves —
+                # a mid-append exception must never leave the six lists
+                # misaligned (that would kill the task instead of emitting
+                # an _error row)
+                out_rows: list[tuple[int, str, str]] = []
                 try:
                     cues = decode_media_payload(
                         bytes(payload),
@@ -85,37 +91,36 @@ def make_fused_kernel(
                         multi_object_opacity_fix=multi_object_opacity_fix,
                     )
                     for seq, text in cues:
-                        c_doc.append(doc_id)
-                        c_off.append(offset)
-                        c_seq.append(seq)
-                        c_kind.append("cue")
-                        c_text.append(text)
-                        c_ref.append(media_ref)
-                    c_doc.append(doc_id)
-                    c_off.append(offset)
-                    c_seq.append(0)
-                    c_kind.append("_metric")
-                    c_text.append(
-                        json.dumps(
-                            {
-                                "bytes": len(payload),
-                                "cues": len(cues),
-                                # task partition id: per-partition lineage —
-                                # which physical partition produced each
-                                # span's metrics (north_rule)
-                                "part": part,
-                                "wall_ms": round((time.perf_counter() - t0) * 1e3, 3),
-                            },
-                            sort_keys=True,
+                        out_rows.append((seq, "cue", text))
+                    out_rows.append(
+                        (
+                            0,
+                            "_metric",
+                            json.dumps(
+                                {
+                                    "bytes": len(payload),
+                                    "cues": len(cues),
+                                    # task partition id: per-partition
+                                    # lineage — which physical partition
+                                    # produced each span's metrics
+                                    # (north_rule)
+                                    "part": part,
+                                    "wall_ms": round(
+                                        (time.perf_counter() - t0) * 1e3, 3
+                                    ),
+                                },
+                                sort_keys=True,
+                            ),
                         )
                     )
-                    c_ref.append(media_ref)
                 except Exception as exc:  # never silent (vs PgsOcr.cs:103-106)
+                    out_rows = [(0, "_error", f"{type(exc).__name__}: {exc}")]
+                for seq, kind, text in out_rows:
                     c_doc.append(doc_id)
                     c_off.append(offset)
-                    c_seq.append(0)
-                    c_kind.append("_error")
-                    c_text.append(f"{type(exc).__name__}: {exc}")
+                    c_seq.append(seq)
+                    c_kind.append(kind)
+                    c_text.append(text)
                     c_ref.append(media_ref)
             yield pd.DataFrame(
                 {
@@ -208,7 +213,14 @@ def make_parse_kernel(skip_merge: bool = False, force_merge_all: bool = False):
 def make_ocr_kernel(
     backend: OcrBackend | None = None, multi_object_opacity_fix: bool = False
 ):
-    """Two-phase kernel B: composition rows -> cue rows (decode + OCR)."""
+    """Two-phase kernel B: composition rows -> cue rows (decode + OCR).
+
+    Non-``comp`` rows (the parse kernel's ``_metric``/``_error`` side
+    channel) pass through unchanged, ``info`` re-labelled as ``text``.
+    Routing them through this kernel instead of a separate filter branch
+    means the expensive parse kernel executes exactly once — a second
+    uncached branch would re-parse every payload (round-1 bench showed
+    that costing a full extra 128-task parse stage)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .pgs.compose import rasterize
@@ -221,20 +233,27 @@ def make_ocr_kernel(
             c_kind: list = []
             c_text: list = []
             c_ref: list = []
-            for doc_id, offset, seq, media_ref, blob in zip(
+            for doc_id, offset, seq, in_kind, media_ref, blob, info in zip(
                 pdf["doc_id"].tolist(),
                 pdf["offset"].tolist(),
                 pdf["seq"].tolist(),
+                pdf["kind"].tolist(),
                 pdf["media_ref"].tolist(),
                 pdf["pcs"].tolist(),
+                pdf["info"].tolist(),
             ):
-                try:
-                    pcs: PcsData = pickle.loads(bytes(blob))
-                    img = rasterize(pcs, multi_object_opacity_fix=multi_object_opacity_fix)
-                    text = ocr.recognize(img)
-                    kind, out = "cue", cue_text(pcs.start, pcs.end, text)
-                except Exception as exc:
-                    kind, out = "_error", f"{type(exc).__name__}: {exc}"
+                if in_kind != "comp":  # side-channel pass-through
+                    kind, out = in_kind, info
+                else:
+                    try:
+                        pcs: PcsData = pickle.loads(bytes(blob))
+                        img = rasterize(
+                            pcs, multi_object_opacity_fix=multi_object_opacity_fix
+                        )
+                        text = ocr.recognize(img)
+                        kind, out = "cue", cue_text(pcs.start, pcs.end, text)
+                    except Exception as exc:
+                        kind, out = "_error", f"{type(exc).__name__}: {exc}"
                 c_doc.append(doc_id)
                 c_off.append(int(offset))
                 c_seq.append(int(seq))

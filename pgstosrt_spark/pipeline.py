@@ -93,8 +93,11 @@ def extract_cue_rows(
         # The session asks the scan for >= 4x slots splits
         # (spark.sql.files.minPartitionNum — scan-level, no shuffle); the
         # fallback below only fires for inputs the scan cannot split
-        # (unsplittable codecs, a single giant row group).
-        balance = documents.rdd.getNumPartitions() < 2 * slots
+        # (unsplittable codecs, a single giant row group).  The gate matches
+        # the repartition width (4x slots) so a scan that yields e.g. 3x
+        # slots still rebalances — undersubscribed CPU-bound waves cost
+        # more than the payload-free hash shuffle does.
+        balance = documents.rdd.getNumPartitions() < 4 * slots
     if balance:
         # Hash repartition, NOT round-robin: plain repartition(n) local-sorts
         # every column first (spark.sql.execution.sortBeforeRepartition, for
@@ -123,25 +126,18 @@ def extract_cue_rows(
         n = rebalance_partitions or 4 * slots
         # hash, not round-robin: avoids the sortBeforeRepartition local sort
         # of the pickled-composition binaries; (doc_id, offset, seq) is
-        # unique per composition, so buckets stay balanced.
-        comp_rows = comps.filter(F.col("kind") == "comp").repartition(
+        # unique per composition, so buckets stay balanced.  ALL rows ride
+        # the one repartition — the tiny _metric/_error side channel passes
+        # through the OCR kernel unchanged instead of a second filter
+        # branch, which (uncached) would re-execute the whole parse kernel.
+        return comps.repartition(
             n, F.col("doc_id"), F.col("offset"), F.col("seq")
-        )
-        cues = comp_rows.mapInPandas(
+        ).mapInPandas(
             make_ocr_kernel(
                 backend=backend, multi_object_opacity_fix=multi_object_opacity_fix
             ),
             schema=CUE_SCHEMA,
         )
-        side = comps.filter(F.col("kind") != "comp").select(
-            "doc_id",
-            "offset",
-            "seq",
-            "kind",
-            F.col("info").alias("text"),
-            "media_ref",
-        )
-        return cues.unionByName(side)
 
     if mode == "fused":
         return fused(media)
