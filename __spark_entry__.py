@@ -144,8 +144,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, sf: sim.ivf_topk(
             _embeddings(_utc(s), sf), _embeddings(s, sf).filter(F.col("vec_id") < 5)
         ),
+        # the driver embeddings have no natural near-dups (max pairwise
+        # cosine ~0.51 at sf0.01), so the query plants 10 exact duplicates
+        # deterministically — a threshold alone would either find nothing
+        # (vacuous rows-only check) or everything (cosine floor)
         "embedding_near_dup": lambda s, sf: sim.embedding_near_dup(
-            _embeddings(_utc(s), sf), threshold=0.8
+            _embeddings(_utc(s), sf).unionByName(
+                _embeddings(s, sf)
+                .filter(F.col("vec_id") < 10)
+                .withColumn("vec_id", F.col("vec_id") + 100_000)
+            ),
+            threshold=0.95,
         ),
     }
 

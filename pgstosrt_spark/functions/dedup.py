@@ -10,13 +10,19 @@ Scale design (100 TB):
                        path — at scale, run LSH and reserve exact Jaccard
                        for verifying the candidate pairs.
   * MinHash + LSH    — k=16 permutation-free min-hashes via xxhash64
-                       (JVM-side), banded 4x4; candidate pairs join on the
-                       band key (tiny vs all-pairs), verified by exact
-                       Jaccard.  This is the 10^12-doc path: cost is
-                       O(docs x k) + a join on rare band collisions.
-  * SimHash          — 32-bit majority-vote fingerprint; near-dup pairs
-                       join on any of 4 byte-bands, verified by hamming
-                       distance.  All pure F.* expressions.
+                       (JVM-side), banded with (bands, rows) DERIVED from
+                       the threshold (catch probability >= 0.95 at
+                       j=threshold); candidate pairs join on the band key
+                       (tiny vs all-pairs), then the verify stage
+                       semi-joins the corpus down to candidate doc_ids
+                       before recomputing shingles.  This is the 10^12-doc
+                       path: cost is O(docs x k) + a join on band
+                       collisions + shingles for candidates only.
+  * SimHash          — 64-bit majority-vote fingerprint (32-bit collides
+                       by birthday at 10^12 docs); near-dup pairs join on
+                       any of 8 byte-bands (pigeonhole-exact for hamming
+                       <= 7), verified by hamming distance.  All pure F.*
+                       expressions.
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ __all__ = [
     "shingles_col",
     "ngram_jaccard_pairs",
     "minhash_signature",
+    "lsh_banding",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
@@ -144,22 +151,48 @@ def minhash_signature(df: DataFrame, k: int = 16, n: int = 3, col: str = "text")
     )
 
 
+def lsh_banding(k: int, threshold: float, target: float = 0.95) -> tuple[int, int]:
+    """Choose (bands, rows) for a k-hash signature from the Jaccard
+    threshold: the candidate-catch probability at similarity j under b
+    bands of r rows is 1 - (1 - j^r)^b.  Scanning r from largest divisor
+    of k down picks the MOST SELECTIVE banding whose catch at j=threshold
+    still meets ``target`` — fixed banding ignores the threshold entirely
+    (4x4 at j=0.2 catches ~0.6% of true pairs).  Falls back to (k, 1)
+    (max recall, least selective) when even single-row bands miss the
+    target; raise k for low thresholds if selectivity matters.
+    """
+    for r in range(k, 0, -1):
+        if k % r:
+            continue
+        b = k // r
+        if 1.0 - (1.0 - threshold**r) ** b >= target:
+            return b, r
+    return k, 1
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 16,
-    bands: int = 4,
+    bands: int | None = None,
     n: int = 3,
     threshold: float = 0.5,
     col: str = "text",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
-    Signature k=16 banded into ``bands`` rows of k/bands; docs sharing any
-    band bucket become candidates (the only join — on the band hash, tiny
-    at scale); candidates are verified with exact shingle Jaccard.
+    Banding defaults to ``lsh_banding(k, threshold)`` — catch probability
+    >= 0.95 at j=threshold — unless ``bands`` overrides it.  Docs sharing
+    any band bucket become candidates (the only join — on the band hash,
+    tiny at scale); the corpus is then SEMI-JOINED down to candidate
+    doc_ids before shingles are recomputed for exact-Jaccard verification,
+    so the second tokenization pass touches candidates only (at 10^12 docs
+    re-shingling the whole corpus would double the cost of the operator).
     Output: doc_a, doc_b, jaccard.
     """
-    rows = k // bands
+    if bands is None:
+        bands, rows = lsh_banding(k, threshold)
+    else:
+        rows = k // bands
     # docs with zero shingles all share the init signature — exclude them
     # instead of letting them bucket-join with each other
     sig = minhash_signature(df, k=k, n=n, col=col).filter(F.col("n_sh") > 0)
@@ -185,7 +218,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = df.select("doc_id", shingles_col(n, col).alias("sh"))
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = df.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", shingles_col(n, col).alias("sh")
+    )
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -202,13 +242,19 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, bits: int = 32, col: str = "text") -> DataFrame:
+def simhash(df: DataFrame, bits: int = 64, col: str = "text") -> DataFrame:
     """doc_id, simhash — per-token xxhash64, per-bit majority vote.
+
+    64-bit by default: at 10^12 documents a 32-bit fingerprint collides by
+    birthday (~2^16 docs per bucket), flooding the band join with false
+    candidates; 64-bit is the standard width.
 
     ONE fold over the token array: each token hashed once and expanded to a
     +1/-1 vote vector merged with zip_with; the vote vector folds to the
     fingerprint by binary doubling (no per-bit shiftleft, no k-fold
-    re-tokenization).  No explode, no shuffle, no UDF.
+    re-tokenization).  For bits > 32 the fold packs two 32-bit halves and
+    recombines bitwise — a single acc*2 chain through bit 63 would overflow
+    LongType under ANSI arithmetic.  No explode, no shuffle, no UDF.
     """
     init = F.array(*[F.lit(0).cast("long")] * bits)
 
@@ -226,30 +272,43 @@ def simhash(df: DataFrame, bits: int = 32, col: str = "text") -> DataFrame:
     base = df.select("doc_id", tokens_col(col).alias("_t"))
     hashed = F.transform("_t", lambda t: F.xxhash64(t))
     votes = F.aggregate(hashed, init, merge)
-    # bit b of the fingerprint = votes[b] > 0; recombine MSB-first so that
-    # acc*2 + bit reproduces sum(bit_b << b)
-    sig = F.aggregate(
-        F.reverse(votes),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
-    )
+
+    def pack(vslice):
+        # bit b of the fingerprint = votes[b] > 0; recombine MSB-first so
+        # that acc*2 + bit reproduces sum(bit_b << b)
+        return F.aggregate(
+            F.reverse(vslice),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+        )
+
+    if bits <= 32:
+        sig = pack(votes)
+    else:
+        lo = pack(F.slice(votes, 1, 32))
+        hi = pack(F.slice(votes, 33, bits - 32))
+        sig = F.shiftleft(hi, 32).bitwiseOR(lo)
     return base.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 3, col: str = "text") -> DataFrame:
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, bits: int = 64, col: str = "text"
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Band join: 32-bit fingerprint split into 4 bytes; by pigeonhole, any
-    pair within hamming 3 agrees on >= 1 byte -> join per byte-band, then
-    verify with bit_count.  Output: doc_a, doc_b, hamming.
+    Band join: the fingerprint split into bits/8 bytes; by pigeonhole a
+    pair within hamming (bits/8 - 1) — i.e. <= 7 at 64-bit — agrees on
+    >= 1 byte -> join per byte-band, then verify with bit_count.
+    Output: doc_a, doc_b, hamming.
     """
-    sig = simhash(df, col=col)
+    n_bands = bits // 8
+    sig = simhash(df, bits=bits, col=col)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("band"),
             F.shiftright("simhash", i * 8).bitwiseAND(F.lit(0xFF)).alias("chunk"),
         )
-        for i in range(4)
+        for i in range(n_bands)
     ]
     bands = sig.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("bb")

@@ -3,13 +3,17 @@
   * brute-force cosine top-k — the exactness baseline: cross join queries x
     corpus with a broadcast of the (small) query side, dot products as
     zip_with/aggregate expressions in float64 (JVM-side, codegen).
-  * IVF top-k — the scale path: deterministic centroid table (sampled
-    seed rows), every vector assigned to its nearest centroid (one narrow
-    pass), queries probe only the closest ``nprobe`` centroid buckets.
-    At 10^12 rows this turns an O(Q x N) scan into O(Q x N/centroids x
-    nprobe) with the centroid table broadcast.
-  * embedding near-dup — all-pairs cosine >= threshold within the corpus,
-    bucketed by IVF cell to avoid the full cross join.
+  * IVF top-k — the scale path: deterministic centroid seeds (the n
+    lowest-id vectors, refined by one Lloyd iteration so recall does not
+    depend on data order), every vector assigned to its nearest centroid
+    via a broadcast join + map-side-combinable min_by aggregation, queries
+    probe only the closest ``nprobe`` centroid buckets.  At 10^12 rows
+    this turns an O(Q x N) scan into O(Q x N/centroids x nprobe) with the
+    centroid table broadcast.
+  * embedding near-dup — all-pairs cosine >= threshold within an IVF cell;
+    cells larger than ``max_cell`` are sub-bucketed by banded
+    random-projection LSH (sign bits of deterministic pseudo-random
+    hyperplanes) so one hot cell cannot go quadratic.
 """
 
 from __future__ import annotations
@@ -66,33 +70,13 @@ def cosine_topk_bruteforce(
     )
 
 
-def _centroids(vectors: DataFrame, n_centroids: int, id_col: str, vec_col: str) -> DataFrame:
-    """Deterministic centroid seeds: the n lowest-id vectors (a k-means
-    iteration can refine in place; seeds keep the plan fully deterministic)."""
-    return (
-        vectors.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(F.col(id_col))).alias("centroid_id"),
-            F.col(vec_col).alias("c_emb"),
-        )
-    )
-
-
-def ivf_assign(
-    vectors: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """-> (assigned vectors with centroid_id, centroid table).
-
-    Assignment = argmax cosine against the broadcast centroid table; one
-    narrow pass over the corpus, no shuffle of the vectors themselves.
-    """
-    cents = _centroids(vectors, n_centroids, id_col, vec_col)
-    v = vectors.select(F.col(id_col), F.col(vec_col))
-    scored = v.join(F.broadcast(cents)).select(
+def _assign(vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment (cosine argmax, ties to the smallest
+    centroid_id).  Broadcast join + min_by aggregation instead of a per-id
+    window: the declarative agg gets map-side partial combine, so the
+    shuffle carries ONE row per vector rather than one per (vector,
+    centroid) pair."""
+    scored = vectors.select(id_col, vec_col).join(F.broadcast(cents)).select(
         id_col,
         vec_col,
         "centroid_id",
@@ -101,13 +85,69 @@ def ivf_assign(
             / (_norm(F.col(vec_col)) * _norm(F.col("c_emb")))
         ).alias("c_score"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col("centroid_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    best = F.min_by(
+        "centroid_id",
+        F.struct((-F.col("c_score")).alias("neg_score"), F.col("centroid_id").alias("cid")),
     )
-    return assigned, cents
+    return scored.groupBy(id_col).agg(
+        best.alias("centroid_id"), F.first(vec_col).alias(vec_col)
+    )
+
+
+def _centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    refine: int = 1,
+) -> DataFrame:
+    """Deterministic centroids: seeds are the n lowest-id vectors, keyed by
+    their OWN id (no global Window.orderBy numbering — the seed id is
+    already a stable key), then ``refine`` Lloyd iterations: broadcast
+    assign -> elementwise mean via posexplode + (centroid, pos) partial
+    agg (the scalar-row shuffle reduces map-side to n_centroids x dim
+    rows).  One iteration decouples recall from data order; float-sum
+    order makes refined means approximately (not bitwise) deterministic,
+    which downstream argmax assignment absorbs in practice."""
+    cents = (
+        vectors.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("c_emb"),
+        )
+    )
+    for _ in range(refine):
+        assigned = _assign(vectors, cents, id_col, vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id", F.transform("pm", lambda s: s["m"]).alias("c_emb")
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """-> (assigned vectors with centroid_id, centroid table).
+
+    Assignment = argmax cosine against the broadcast centroid table; one
+    narrow pass over the corpus plus a one-row-per-vector shuffle.
+    """
+    cents = _centroids(vectors, n_centroids, id_col, vec_col, refine=refine)
+    return _assign(vectors, cents, id_col, vec_col), cents
 
 
 def ivf_topk(
@@ -158,24 +198,93 @@ def ivf_topk(
     )
 
 
+_RP_SCALE = 1000
+
+
+def _rp_bits(vec_col: str, plane_ids) -> F.Column:
+    """Packed sign bits of deterministic pseudo-random hyperplane
+    projections (random-projection LSH).  Weight w(p, i) is pseudo-uniform
+    in [-1, 1] derived from xxhash64(p, element index) — no stored
+    hyperplane table, identical on every executor."""
+    out = F.lit(0)
+    for p in plane_ids:
+        proj = F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: x.cast("double")
+                * (
+                    (
+                        F.pmod(F.xxhash64(F.lit(int(p)), i), F.lit(2 * _RP_SCALE + 1))
+                        - _RP_SCALE
+                    )
+                    / _RP_SCALE
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out * 2 + F.when(proj >= 0, 1).otherwise(0)
+    return out
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_centroids: int = 16,
+    max_cell: int = 4096,
+    rp_bands: int = 4,
+    rp_rows: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine >= threshold), IVF-bucketed.
+    """Near-duplicate vector pairs (cosine >= threshold), IVF-bucketed with
+    a hot-cell cap.
 
-    Pairs are only compared within a centroid cell — the standard blocking
-    trick; at threshold ~0.95 true dups share a cell with near certainty.
+    Pairs are compared all-pairs within a centroid cell (the standard
+    blocking trick — exact within the cell).  A cell larger than
+    ``max_cell`` would make that join quadratic, so hot cells are
+    sub-bucketed by banded random-projection LSH: ``rp_bands`` bands of
+    ``rp_rows`` hyperplane sign bits each; a pair is a candidate if any
+    band's bits agree.  With p = 1 - acos(cos)/pi the per-bit agreement
+    probability, catch probability is 1 - (1 - p^rows)^bands — at the
+    defaults ~0.985 for cosine 0.95, ~0.87 at 0.8 — while hot-cell join
+    cost drops by ~2^rows/bands (4x at defaults).  Exact duplicates have
+    identical projections, so they are caught with probability 1.
+    Output: vec_a, vec_b, cosine.
     """
     assigned, _ = ivf_assign(vectors, n_centroids, id_col, vec_col)
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("cell_n"))
+    tagged = assigned.join(F.broadcast(sizes), "centroid_id")
+    hot_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                _rp_bits(vec_col, range(band * rp_rows, (band + 1) * rp_rows)).alias(
+                    "bits"
+                ),
+            )
+            for band in range(rp_bands)
+        ]
+    )
+    cold_bucket = F.array(F.struct(F.lit(-1).alias("band"), F.lit(0).alias("bits")))
+    # ONE narrow pass builds every bucket row (a per-band union would
+    # re-execute the assignment join rp_bands+1 times)
+    buckets = tagged.select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        F.explode(
+            F.when(F.col("cell_n") > max_cell, hot_buckets).otherwise(cold_bucket)
+        ).alias("bb"),
+    ).select(
+        id_col, vec_col, "centroid_id", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
     pairs = a.join(
         b,
         (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bits") == F.col("b.bits"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias("vec_a"),
@@ -185,6 +294,9 @@ def embedding_near_dup(
             / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}")))
         ).alias("score_raw"),
     )
-    return pairs.filter(F.col("score_raw") >= threshold).select(
-        "vec_a", "vec_b", F.round("score_raw", 4).alias("cosine")
+    # hot-cell pairs can collide in several bands -> distinct before output
+    return (
+        pairs.distinct()
+        .filter(F.col("score_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("score_raw", 4).alias("cosine"))
     )
