@@ -15,6 +15,10 @@ A re-run lists committed batch ids, anti-joins them away, and processes
 only the remainder; killed-mid-run work is invisible (no manifest) and is
 redone exactly once.  Batches are ``pmod(xxhash64(doc_id), n_batches)`` —
 deterministic, uniform, and computable on both sides of the resume.
+
+All manifest I/O goes through the JVM Hadoop FileSystem API, so the
+commit/resume protocol works wherever Spark can write (hdfs://, s3a://,
+file:), not only on the driver's POSIX disk.
 """
 
 from __future__ import annotations
@@ -31,12 +35,37 @@ from .pipeline import extract_cue_rows, split_side_channel
 __all__ = ["committed_batches", "pending_documents", "run_with_checkpoints"]
 
 
-def committed_batches(out_dir: str) -> list[int]:
-    mdir = os.path.join(out_dir, "_manifest")
-    if not os.path.isdir(mdir):
-        return []
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — the
+    manifest protocol must work on cluster storage (hdfs://, s3a://, ...),
+    not just the driver's POSIX disk.  HDFS rename is atomic; S3A rename
+    is copy+delete (the classic pre-Iceberg manifest-commit caveat — a
+    real deployment swaps this module for Iceberg snapshot commits, which
+    the jars in this image don't include)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _spark_for_fs(spark: SparkSession | None) -> SparkSession | None:
+    return spark if spark is not None else SparkSession.getActiveSession()
+
+
+def committed_batches(out_dir: str, spark: SparkSession | None = None) -> list[int]:
+    spark = _spark_for_fs(spark)
+    if spark is None:  # no JVM available: driver-local POSIX fallback
+        mdir = os.path.join(out_dir, "_manifest")
+        if not os.path.isdir(mdir):
+            return []
+        names = os.listdir(mdir)
+    else:
+        fs, mdir_p = _hadoop_fs(spark, out_dir + "/_manifest")
+        if not fs.exists(mdir_p):
+            return []
+        names = [st.getPath().getName() for st in fs.listStatus(mdir_p)]
     return sorted(
-        int(f[:-5]) for f in os.listdir(mdir) if f.endswith(".json")
+        int(f[:-5]) for f in names if f.endswith(".json") and not f.startswith(".")
     )
 
 
@@ -48,21 +77,29 @@ def _with_batch(documents: DataFrame, n_batches: int) -> DataFrame:
 
 def pending_documents(documents: DataFrame, out_dir: str, n_batches: int) -> DataFrame:
     """Documents not yet covered by a committed batch (the resume scan)."""
-    done = set(committed_batches(out_dir))
+    done = set(committed_batches(out_dir, documents.sparkSession))
     df = _with_batch(documents, n_batches)
     if done:
         df = df.filter(~F.col("_batch").isin(sorted(done)))
     return df
 
 
-def _commit(out_dir: str, batch_id: int, payload: dict) -> None:
-    mdir = os.path.join(out_dir, "_manifest")
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".{batch_id}.json.tmp")
-    final = os.path.join(mdir, f"{batch_id}.json")
-    with open(tmp, "w") as f:
-        json.dump(payload, f, sort_keys=True)
-    os.rename(tmp, final)  # atomic on POSIX — the Iceberg-commit stand-in
+def _commit(spark: SparkSession, out_dir: str, batch_id: int, payload: dict) -> None:
+    """Atomic(-ish) manifest commit: write tmp, rename into place — through
+    the Hadoop FS layer so the protocol holds on hdfs:// (atomic rename)
+    and degrades documented-ly on s3a:// (copy+delete)."""
+    fs, mdir_p = _hadoop_fs(spark, out_dir + "/_manifest")
+    fs.mkdirs(mdir_p)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(out_dir + f"/_manifest/.{batch_id}.json.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(out_dir + f"/_manifest/{batch_id}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest rename failed: {tmp} -> {final}")
 
 
 def run_with_checkpoints(
@@ -81,7 +118,7 @@ def run_with_checkpoints(
     """
     from .pipeline import assemble_spans
 
-    done_before = set(committed_batches(out_dir))
+    done_before = set(committed_batches(out_dir, spark))
     df = _with_batch(documents, n_batches)
     committed_now: list[int] = []
     for batch_id in range(n_batches):
@@ -101,11 +138,15 @@ def run_with_checkpoints(
             metrics_path = os.path.join(out_dir, "metrics", f"batch={batch_id}")
             extracted.write.mode("overwrite").parquet(data_path)
             side.write.mode("overwrite").parquet(metrics_path)
-            n_docs = spark.read.parquet(data_path).count()
-            n_side = spark.read.parquet(metrics_path).count()
+            # manifest counts from the CACHED flat rows — re-reading the
+            # parquet just written costs a full extra read per batch at
+            # scale; the cache guarantees the kernel doesn't re-run either
+            n_docs = extracted.count()
+            n_side = side.count()
         finally:
             flat.unpersist()
         _commit(
+            spark,
             out_dir,
             batch_id,
             {

@@ -149,6 +149,16 @@ def extract_cue_rows(
         # pin one task) take the two-phase split/rebalance path.  The size
         # predicate is a cheap JVM expression over the already-decoded
         # binary; results are a bag union, order restored downstream.
+        #
+        # Cost note (deliberate tradeoff): the two branches are separate
+        # physical pipelines, so the source is SCANNED TWICE — every
+        # payload's bytes are read in both branches and discarded by the
+        # filter in one.  That is worth it only when monster payloads are
+        # rare and a second scan is cheaper than shuffling every small
+        # payload's parsed compositions; when scan cost dominates, plain
+        # two_phase (one scan, one composition-row shuffle) is the better
+        # 100 TB default.  A persist() boundary on `media` would trade the
+        # second scan for caching every payload byte — worse at scale.
         big = F.octet_length("payload") > size_threshold
         return fused(media.filter(~big)).unionByName(two_phase(media.filter(big)))
     raise ValueError(f"unknown mode: {mode!r} (fused | two_phase | size_bucketed)")

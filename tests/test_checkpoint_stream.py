@@ -54,6 +54,48 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     assert run_with_checkpoints(spark, docs, out, n_batches=4) == []
 
 
+def test_checkpoint_manifest_via_hadoop_fs_uri(spark, tmp_path):
+    """The manifest protocol must work through the Hadoop FS layer with a
+    scheme-qualified URI (the cluster-storage path shape) — driver-local
+    POSIX calls would silently see an empty dir for any non-local scheme
+    and recompute every batch on resume."""
+    out = "file://" + str(tmp_path / "ckpt_uri")
+    docs = synthesize_documents(spark, SF_DIR).limit(20).cache()
+
+    first = run_with_checkpoints(spark, docs, out, n_batches=2, max_batches=1)
+    assert len(first) == 1
+    assert committed_batches(out, spark) == first
+    second = run_with_checkpoints(spark, docs, out, n_batches=2)
+    assert sorted(first + second) == [0, 1]
+    # resume sees the committed batch through the FS API (no recompute)
+    assert run_with_checkpoints(spark, docs, out, n_batches=2) == []
+    # and the data really landed under the URI's local path
+    assert spark.read.parquet(out + "/data").count() == docs.count()
+
+
+def test_srt_file_sink_bytes(spark, tmp_path):
+    """S5 contract (PgsOcr.cs:59-63): one .srt per (doc_id, media_ref),
+    UTF-8 WITHOUT BOM, bytes identical to the pure-Python SubRip renderer
+    already pinned against the JVM expression in test_pipeline_spark."""
+    from pgstosrt_spark.pipeline import render_srt_documents
+    from pgstosrt_spark.sinks import write_srt_files
+
+    docs = synthesize_documents(spark, SF_DIR).limit(10).cache()
+    rendered = render_srt_documents(docs)
+    want = {(r["doc_id"], r["media_ref"]): r["srt"] for r in rendered.collect()}
+
+    out = str(tmp_path / "srt_out")
+    receipts = write_srt_files(rendered, out).collect()
+    assert len(receipts) == len(want) > 0
+    for r in receipts:
+        with open(r["path"], "rb") as f:
+            data = f.read()
+        assert not data.startswith(b"\xef\xbb\xbf")  # no BOM
+        assert data == want[(r["doc_id"], r["media_ref"])].encode("utf-8")
+        assert r["n_bytes"] == len(data)
+        assert b"\r\n" in data  # SubRip CRLF block separators
+
+
 def test_streaming_extraction_matches_batch(spark, tmp_path):
     from pgstosrt_spark.streaming.extract_stream import extract_stream, read_documents_stream
 

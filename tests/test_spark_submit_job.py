@@ -59,9 +59,13 @@ def test_spark_submit_pyfiles_checkpointed_resume(spark, tmp_path):
 
     # small corpus written by the test session; the job only sees parquet
     corpus = str(tmp_path / "corpus")
+    # deterministic orderBy before limit: an unordered limit(120) is not
+    # guaranteed to pick the same rows across the two evaluations below
+    # (corpus keep-list here, oracle expectation later)
     src = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select("doc_id", "text")
+        .orderBy("doc_id")
         .limit(120)
     )
     docs_pdf = src.toPandas()
