@@ -13,7 +13,16 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["FONT", "GLYPH_W", "GLYPH_H", "ADVANCE", "SPACE_ADVANCE", "atlas"]
+__all__ = [
+    "FONT",
+    "GLYPH_W",
+    "GLYPH_H",
+    "ADVANCE",
+    "SPACE_ADVANCE",
+    "atlas",
+    "match_glyph",
+    "packed_atlas",
+]
 
 GLYPH_W = 5
 GLYPH_H = 7
@@ -116,3 +125,32 @@ def match_glyph(cell: np.ndarray) -> str:
         return "?"
     c = _crop(cell)
     return cropped_atlas().get(c.tobytes() + bytes(c.shape), "?")
+
+
+def _pack_cols(arr: np.ndarray) -> tuple[int, ...]:
+    """Column-integer encoding of a column-cropped bitmap: column c maps to
+    sum of (arr[r, c] << r), then every column is right-shifted by the
+    bottom-most set row (row crop).  Bijective with the cropped bitmap +
+    width, so key uniqueness is identical to ``cropped_atlas``."""
+    h = arr.shape[0]
+    vals = (arr.astype(np.int64) << np.arange(h, dtype=np.int64)[:, None]).sum(axis=0)
+    orv = 0
+    for v in vals.tolist():
+        orv |= v
+    if orv == 0:
+        return ()
+    r0 = (orv & -orv).bit_length() - 1
+    return tuple(int(v) >> r0 for v in vals.tolist())
+
+
+@lru_cache(maxsize=1)
+def packed_atlas() -> dict[tuple[int, ...], str]:
+    """Column-integer key -> char: the fast-path lookup used by the OCR
+    line recognizer (one vectorized pack per text line, tiny-int Python
+    ops per glyph — no numpy calls per cell)."""
+    out: dict[tuple[int, ...], str] = {}
+    for ch, arr in atlas().items():
+        key = _pack_cols(_crop(arr))
+        assert key not in out, f"packed glyph collision: {ch} vs {out[key]}"
+        out[key] = ch
+    return out

@@ -15,7 +15,7 @@ from typing import Protocol
 
 import numpy as np
 
-from .glyphs import match_glyph
+from .glyphs import packed_atlas
 
 __all__ = ["OcrBackend", "GlyphAtlasOcr", "TesseractOcr", "default_backend"]
 
@@ -54,20 +54,34 @@ class GlyphAtlasOcr:
 
     @staticmethod
     def _recognize_line(band: np.ndarray) -> str:
-        col_any = band.any(axis=0)
-        cols = np.flatnonzero(col_any)
+        # ONE vectorized pass packs every column of the line into an
+        # integer (bit r = pixel at row r); per-glyph work is then pure
+        # tiny-int Python against the packed atlas — numpy-per-cell calls
+        # (crop/any/flatnonzero) were ~40% of kernel time
+        h = band.shape[0]
+        colvals = (
+            band.astype(np.int64) << np.arange(h, dtype=np.int64)[:, None]
+        ).sum(axis=0)
+        cols = np.flatnonzero(colvals)
         if cols.size == 0:
             return ""
         breaks = np.flatnonzero(np.diff(cols) > 1)
         starts = np.concatenate(([0], breaks + 1))
         ends = np.concatenate((breaks, [len(cols) - 1]))
+        vals = colvals.tolist()
+        glyphs = packed_atlas()
         out: list[str] = []
         prev_end_col: int | None = None
-        for s, e in zip(starts, ends):
+        for s, e in zip(starts.tolist(), ends.tolist()):
             c0, c1 = int(cols[s]), int(cols[e])
             if prev_end_col is not None and c0 - prev_end_col - 1 >= _SPACE_GAP:
                 out.append(" ")
-            out.append(match_glyph(band[:, c0 : c1 + 1]))
+            cell = vals[c0 : c1 + 1]
+            orv = 0
+            for v in cell:
+                orv |= v
+            r0 = (orv & -orv).bit_length() - 1
+            out.append(glyphs.get(tuple(v >> r0 for v in cell), "?"))
             prev_end_col = c1
         return "".join(out)
 

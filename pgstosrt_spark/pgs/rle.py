@@ -44,40 +44,61 @@ def decode_rle_runs(
     still advances — exactly PutPixel (:149-155), so overlapping writes
     keep earlier opaque pixels.  Raises DecodeError where the reference
     would throw IndexOutOfRangeException (buffer overrun).
+
+    Physical shape: every escape starts with a 0x00 byte, so the Python
+    loop steps per ESCAPE (zero positions precomputed with numpy) and a
+    maximal stretch of nonzero bytes between escapes — each byte one
+    literal pixel of its own colour — is consumed as ONE slice-backed
+    segment instead of per-byte iterations.  Pixel writes happen in a
+    single vectorized scatter afterwards; the stream-order replay fallback
+    handles the rare overlapping-cursor case (overfilled row + EOL
+    snap-back).
     """
     total = width * height
     p = 0  # pixel cursor (num1)
     col = 0  # column counter (num2)
     i = 0  # byte cursor (num3)
     n = len(buf)
-    # run accumulation: the opcode walk is inherently sequential (EOL cursor
-    # math), but pixel writes are not — collect (start, len, colour) per run
-    # and scatter once, vectorized, afterwards.  Per-run numpy slice writes
-    # were ~60% of RLE decode time.
-    starts: list[int] = []
-    lens: list[int] = []
-    cols: list[int] = []
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    zero_pos = np.flatnonzero(arr == 0).tolist()  # python ints: fast indexing
+    nz = len(zero_pos)
+    zi = 0  # index of the first zero position >= i
+    # segments: runs ('r', pixel_start, length, colour) and literal
+    # stretches ('l', pixel_start, byte_offset, length); watermark detects
+    # any write that starts before an earlier write ended (overlap)
+    segs: list[tuple] = []
+    segs_append = segs.append
     alpha_ok = None if alpha_lut is None else (alpha_lut > 0).tolist()
-
-    def write(run: int, colour: int) -> int:
-        nonlocal p
-        if run <= 0:
-            return 0
-        if p + run > total:
-            raise DecodeError(
-                f"RLE overrun: cursor {p}+{run} > {total} ({width}x{height})"
-            )
-        if alpha_ok is None or alpha_ok[colour]:
-            starts.append(p)
-            lens.append(run)
-            cols.append(colour)
-        p += run
-        return run
+    watermark = 0
+    overlap = False
 
     while i < n:
-        c = buf[i]
+        while zi < nz and zero_pos[zi] < i:
+            zi += 1
+        z = zero_pos[zi] if zi < nz else n
+        if z > i:
+            # literal stretch: buf[i:z] all nonzero (:129-133)
+            run = z - i
+            if p + run > total:
+                raise DecodeError(
+                    f"RLE overrun: cursor {p}+{run} > {total} ({width}x{height})"
+                )
+            segs_append(("l", p, i, run))
+            if p < watermark:
+                overlap = True
+            p += run
+            if p > watermark:
+                watermark = p
+            col += run
+            i = z
+            continue
+        # escape (or trailing lone 0x00): c == 0 at i
         i += 1
-        if c == 0 and i < n:
+        if i >= n:
+            # lone 0x00 at end of buffer -> literal pixel of colour 0
+            run, colour = 1, 0
+            col += 1
+        else:
             b = buf[i]
             i += 1
             if b == 0:
@@ -86,51 +107,91 @@ def decode_rle_runs(
                 if col < width:
                     p += width
                 col = 0
+                continue
             elif (b & 0xC0) == 0x40:
-                if i < n:
-                    run = ((b - 0x40) << 8) + buf[i]
-                    i += 1
-                    col += run
-                    write(run, 0)
+                if i >= n:
+                    continue
+                run = ((b - 0x40) << 8) + buf[i]
+                colour = 0
+                i += 1
+                col += run
             elif (b & 0xC0) == 0x80:
-                if i < n:
-                    run = b - 0x80
-                    colour = buf[i]
-                    i += 1
-                    col += run
-                    write(run, colour)
+                if i >= n:
+                    continue
+                run = b - 0x80
+                colour = buf[i]
+                i += 1
+                col += run
             elif (b & 0xC0) == 0xC0:
-                if i + 1 < n:
-                    run = ((b - 0xC0) << 8) + buf[i]
-                    colour = buf[i + 1]
-                    i += 2
-                    col += run
-                    write(run, colour)
+                if i + 1 >= n:
+                    continue
+                run = ((b - 0xC0) << 8) + buf[i]
+                colour = buf[i + 1]
+                i += 2
+                col += run
             else:  # b < 0x40: short run of colour 0 (:121-127)
+                run, colour = b, 0
                 col += b
-                write(b, 0)
-        else:
-            # literal pixel (or trailing lone 0x00 at end of buffer, which
-            # the reference also writes as colour 0) (:129-133)
-            col += 1
-            write(1, c)
+        if run <= 0:
+            continue
+        if p + run > total:
+            raise DecodeError(
+                f"RLE overrun: cursor {p}+{run} > {total} ({width}x{height})"
+            )
+        if alpha_ok is None or alpha_ok[colour]:
+            segs_append(("r", p, run, colour))
+            if p < watermark:
+                overlap = True
+        p += run
+        if p > watermark:
+            watermark = p
 
     img = np.full(total, -1, dtype=np.int16)
-    if not starts:
+    if not segs:
         return img
-    s = np.asarray(starts, dtype=np.int64)
-    ln = np.asarray(lens, dtype=np.int64)
-    cl = np.asarray(cols, dtype=np.int16)
-    if len(s) == 1 or bool(np.all(s[1:] >= (s + ln)[:-1])):
-        # ordered, non-overlapping runs (the normal case): one scatter
-        off = np.cumsum(ln) - ln
-        pos = np.repeat(s - off, ln) + np.arange(int(ln.sum()), dtype=np.int64)
-        img[pos] = np.repeat(cl, ln)
+    alpha_np = None if alpha_lut is None else (alpha_lut > 0)
+    if not overlap:
+        # ordered, non-overlapping (the normal case): one scatter per kind
+        r_start = [s[1] for s in segs if s[0] == "r"]
+        if r_start:
+            r_len = np.asarray([s[2] for s in segs if s[0] == "r"], dtype=np.int64)
+            r_col = np.asarray([s[3] for s in segs if s[0] == "r"], dtype=np.int16)
+            s0 = np.asarray(r_start, dtype=np.int64)
+            off = np.cumsum(r_len) - r_len
+            pos = np.repeat(s0 - off, r_len) + np.arange(
+                int(r_len.sum()), dtype=np.int64
+            )
+            img[pos] = np.repeat(r_col, r_len)
+        l_segs = [s for s in segs if s[0] == "l"]
+        if l_segs:
+            p0 = np.asarray([s[1] for s in l_segs], dtype=np.int64)
+            b0 = np.asarray([s[2] for s in l_segs], dtype=np.int64)
+            ln = np.asarray([s[3] for s in l_segs], dtype=np.int64)
+            off = np.cumsum(ln) - ln
+            ar = np.arange(int(ln.sum()), dtype=np.int64)
+            pos = np.repeat(p0 - off, ln) + ar
+            bpos = np.repeat(b0 - off, ln) + ar
+            vals = arr[bpos]
+            if alpha_np is not None:
+                keep = alpha_np[vals]
+                pos, vals = pos[keep], vals[keep]
+            img[pos] = vals.astype(np.int16)
     else:
-        # overlapping writes (overfilled row + EOL snap-back): replay in
-        # stream order so later opaque runs win, exactly like the reference
-        for st, l, c0 in zip(starts, lens, cols):
-            img[st : st + l] = c0
+        # overlapping writes: replay in stream order so later opaque runs
+        # win, exactly like the reference
+        for seg in segs:
+            if seg[0] == "r":
+                _, st, ln, c0 = seg
+                img[st : st + ln] = c0
+            else:
+                _, st, b0, ln = seg
+                vals = arr[b0 : b0 + ln]
+                if alpha_np is not None:
+                    keep = alpha_np[vals]
+                    idx = st + np.flatnonzero(keep)
+                    img[idx] = vals[keep].astype(np.int16)
+                else:
+                    img[st : st + ln] = vals.astype(np.int16)
     return img
 
 
