@@ -95,6 +95,25 @@ def _q_srt_render(spark, sf_dir):
     return render_srt_documents(docs)
 
 
+def _q_track_fanout(spark, sf_dir):
+    """S4 language fan-out over a deterministic track table derived from
+    the driver documents (container demux is upstream ingestion): output
+    filename contract incl. the "", 2, 3 collision numbering."""
+    from pgstosrt_spark.operators.tracks import tracks_by_language
+
+    d = F.col("doc_id").cast("long")
+    tracks = _documents(_utc(spark), sf_dir).select(
+        F.concat(F.lit("f"), (d % 7).cast("string")).alias("source"),
+        d.alias("track_number"),
+        F.when(d % 3 == 0, "S_HDMV/PGS").otherwise("S_TEXT/UTF8").alias("codec_id"),
+        F.when(d % 4 <= 1, "eng").when(d % 4 == 2, "fre").otherwise("ger").alias(
+            "language"
+        ),
+        (d % 5 == 0).alias("is_forced"),
+    )
+    return tracks_by_language(tracks, "eng")
+
+
 # ----------------------------------------------------------------- queries
 
 
@@ -114,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_two_phase": _q_extract_two_phase,
         "extract_metrics": _q_extract_metrics,
         "srt_render": _q_srt_render,
+        "track_fanout": _q_track_fanout,
         # relational skeleton (SURVEY.md §2.6) — DuckDB-verified
         "pricing_summary": lambda s, sf: rel.pricing_summary(_utc(s), sf),
         "filter_project": lambda s, sf: rel.filter_project(_utc(s), sf),
@@ -262,6 +282,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        "track_fanout": """
+            WITH t AS (
+                SELECT 'f' || CAST(doc_id % 7 AS VARCHAR) AS source,
+                       CAST(doc_id AS BIGINT) AS track_number,
+                       CASE WHEN doc_id % 3 = 0 THEN 'S_HDMV/PGS'
+                            ELSE 'S_TEXT/UTF8' END AS codec_id,
+                       CASE WHEN doc_id % 4 <= 1 THEN 'eng'
+                            WHEN doc_id % 4 = 2 THEN 'fre'
+                            ELSE 'ger' END AS language,
+                       doc_id % 5 = 0 AS is_forced
+                FROM documents
+            ), p AS (
+                SELECT * FROM t
+                WHERE lower(codec_id) = 's_hdmv/pgs' AND lower(language) = 'eng'
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lower(source || '.' || language ||
+                                 CASE WHEN is_forced THEN '.forced' ELSE '' END)
+                    ORDER BY track_number) AS rnk
+                FROM p
+            )
+            SELECT source, track_number,
+                   source || '.' || language ||
+                   (CASE WHEN rnk = 1 THEN '' ELSE CAST(rnk AS VARCHAR) END) ||
+                   (CASE WHEN is_forced THEN '.forced' ELSE '' END) ||
+                   '.srt' AS output_name
+            FROM r
         """,
         "token_count": f"""
             SELECT doc_id,

@@ -155,6 +155,37 @@ def test_embedding_near_dup_hot_cell_cap(spark, emb):
     assert {(i, i + 10_000) for i in range(5)} <= pairs
 
 
+def test_track_fanout_numbering(spark):
+    """MkvUtilities.cs:20-55 contract: PGS-codec filter, case-insensitive
+    language match, output names numbered "", 2, 3 on collision (the
+    reference's retry loop starts at 2), .forced suffix kept distinct."""
+    from pgstosrt_spark.operators.tracks import tracks_by_language
+
+    rows = [
+        ("movie", 1, "S_HDMV/PGS", "eng", False),
+        ("movie", 2, "S_HDMV/PGS", "ENG", False),   # case-insensitive match
+        ("movie", 3, "S_HDMV/PGS", "eng", False),
+        ("movie", 4, "S_HDMV/PGS", "eng", True),    # forced: no collision
+        ("movie", 5, "S_TEXT/UTF8", "eng", False),  # wrong codec: dropped
+        ("movie", 6, "S_HDMV/PGS", "fre", False),   # wrong language: dropped
+        ("other", 7, "S_HDMV/PGS", "eng", False),   # different source file
+    ]
+    tracks = spark.createDataFrame(
+        rows, "source string, track_number long, codec_id string, language string, is_forced boolean"
+    )
+    got = {
+        r["track_number"]: r["output_name"]
+        for r in tracks_by_language(tracks, "eng").collect()
+    }
+    assert got == {
+        1: "movie.eng.srt",
+        2: "movie.ENG2.srt",
+        3: "movie.eng3.srt",
+        4: "movie.eng.forced.srt",
+        7: "other.eng.srt",
+    }
+
+
 def test_multimodal_probe(spark):
     from pgstosrt_spark.fixtures.corpus import synthesize_documents
 
