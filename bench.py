@@ -129,40 +129,48 @@ def run_bench(sf_dir: str, cpus: int, runs: int = 3) -> dict:
     qdefs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    def timed(name: str, thunk) -> None:
-        best = None
-        for _ in range(runs):
+    # warm the JVM + Python workers on a small slice
+    _noop(extract(docs.limit(64)))
+
+    # flagship extraction over the pre-built interleaved corpus + the
+    # relational / training-data headliners (driver sf tables)
+    thunks: list[tuple[str, object]] = [
+        ("extract_fused", lambda: _noop(extract(docs, mode="fused"))),
+        ("extract_two_phase", lambda: _noop(extract(docs, mode="two_phase"))),
+    ] + [
+        (name, lambda name=name: _noop(qdefs[name](spark, sf_dir)))
+        for name in (
+            "pricing_summary",
+            "broadcast_join_enrich",
+            "run_length_dedup",
+            "fragment_reassembly",
+            "sessionize",
+            "token_count",
+            "quality_score",
+            "exact_dedup",
+            "ngram_jaccard_dups",
+            "minhash_lsh_dups",
+            "simhash_dups",
+            "ann_cosine_topk",
+            "ann_ivf_topk",
+        )
+    ]
+
+    # INTERLEAVED passes (best-of per query across passes), not
+    # back-to-back repeats per query: co-tenant interference on this host
+    # arrives in multi-minute bursts, so three consecutive samples of one
+    # query can ALL land in a burst while its neighbours measure clean —
+    # exactly how round 1 recorded a 4x-inflated fused time next to a
+    # clean two-phase one.  Round-robin decorrelates the burst from any
+    # single query; the spin gate still skips the worst windows.
+    for _ in range(runs):
+        for name, thunk in thunks:
             _wait_quiet()
             t0 = time.perf_counter()
             thunk()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-
-    # warm the JVM + Python workers on a small slice
-    _noop(extract(docs.limit(64)))
-
-    # flagship: full extraction over the pre-built interleaved corpus
-    timed("extract_fused", lambda: _noop(extract(docs, mode="fused")))
-    timed("extract_two_phase", lambda: _noop(extract(docs, mode="two_phase")))
-
-    # relational / training-data headliners (driver sf tables)
-    for name in (
-        "pricing_summary",
-        "broadcast_join_enrich",
-        "run_length_dedup",
-        "fragment_reassembly",
-        "sessionize",
-        "token_count",
-        "quality_score",
-        "exact_dedup",
-        "ngram_jaccard_dups",
-        "minhash_lsh_dups",
-        "simhash_dups",
-        "ann_cosine_topk",
-        "ann_ivf_topk",
-    ):
-        timed(name, lambda name=name: _noop(qdefs[name](spark, sf_dir)))
+            if name not in timings or dt < timings[name]:
+                timings[name] = round(dt, 3)
 
     extract_sec = timings["extract_fused"]
     result = {

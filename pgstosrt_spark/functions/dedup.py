@@ -20,9 +20,9 @@ Scale design (100 TB):
                        collisions + shingles for candidates only.
   * SimHash          — 64-bit majority-vote fingerprint (32-bit collides
                        by birthday at 10^12 docs); near-dup pairs join on
-                       any of 8 byte-bands (pigeonhole-exact for hamming
-                       <= 7), verified by hamming distance.  All pure F.*
-                       expressions.
+                       max_hamming+1 bands (pigeonhole-minimal: widest
+                       bands = most selective join keys), verified by
+                       hamming distance.  All pure F.* expressions.
 """
 
 from __future__ import annotations
@@ -122,33 +122,40 @@ def _hash_params(k: int) -> list[tuple[int, int]]:
 def minhash_signature(df: DataFrame, k: int = 16, n: int = 3, col: str = "text") -> DataFrame:
     """-> (doc_id, n_sh, sig: array<long>[k]) — permutation-free MinHash.
 
-    h_j(doc) = min over shingles s of (a_j * xxhash64(s) + b_j) mod M31,
-    computed as ONE fold over the shingle array: each shingle is hashed
-    once, expanded to k affine candidates, and merged with zip_with/least.
-    The shingle array is materialized in its own projection and referenced
-    twice (size + fold), which stops Catalyst's CollapseProject from
-    re-inlining the shingle computation k times — the naive per-column
-    formulation costs k full tokenizations per row.
+    h_j(doc) = min over shingles s of (a_j * xxhash64(s) + b_j) mod M31.
+
+    Physical shape: explode shingles -> one codegen'd xxhash64 + k affine
+    projections per shingle -> k declarative min-aggregates per doc.
+    Spark's higher-order array functions evaluate their lambdas
+    INTERPRETED per element, so the earlier fold-over-array formulation
+    paid ~k interpreted ops per shingle; explode + HashAggregate stays in
+    whole-stage codegen and map-side partial aggregation collapses each
+    doc to one (k+1)-column row before the (only) shuffle.  Docs with no
+    shingles keep the M31 init signature via explode_outer + coalesce
+    (xxhash64(null) is the seed hash, hence the isNotNull guard).
     """
     params = _hash_params(k)
-    init = F.array(*[F.lit(_MERSENNE).cast("long")] * k)
-
-    def merge(acc, x):
-        cand = F.array(
-            *[
-                F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
-                for a, b in params
-            ]
-        )
-        return F.zip_with(acc, cand, lambda m, c: F.least(m, c))
-
-    base = df.select("doc_id", shingles_col(n, col).alias("_sh"))
-    hashed = F.transform("_sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    return base.select(
-        "doc_id",
-        F.size("_sh").alias("n_sh"),
-        F.aggregate(hashed, init, merge).alias("sig"),
+    sh = df.select("doc_id", F.explode_outer(shingles_col(n, col)).alias("_sh"))
+    h = F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE))
+    per = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_sh").isNotNull(),
+                    F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
+                )
+            ).alias(f"_m{j}")
+            for j, (a, b) in enumerate(params)
+        ],
+        F.count("_sh").alias("n_sh"),
     )
+    sig = F.array(
+        *[
+            F.coalesce(F.col(f"_m{j}"), F.lit(_MERSENNE).cast("long"))
+            for j in range(k)
+        ]
+    )
+    return per.select("doc_id", F.col("n_sh").cast("int").alias("n_sh"), sig.alias("sig"))
 
 
 def lsh_banding(k: int, threshold: float, target: float = 0.95) -> tuple[int, int]:
@@ -249,46 +256,37 @@ def simhash(df: DataFrame, bits: int = 64, col: str = "text") -> DataFrame:
     birthday (~2^16 docs per bucket), flooding the band join with false
     candidates; 64-bit is the standard width.
 
-    ONE fold over the token array: each token hashed once and expanded to a
-    +1/-1 vote vector merged with zip_with; the vote vector folds to the
-    fingerprint by binary doubling (no per-bit shiftleft, no k-fold
-    re-tokenization).  For bits > 32 the fold packs two 32-bit halves and
-    recombines bitwise — a single acc*2 chain through bit 63 would overflow
-    LongType under ANSI arithmetic.  No explode, no shuffle, no UDF.
+    Physical shape: explode tokens -> one codegen'd xxhash64 per token ->
+    ``bits`` declarative sums of (h >> b) & 1 per doc -> bitwise-OR pack
+    of the majority bits (2*ones_b > n).  Spark's higher-order array
+    functions evaluate their lambdas INTERPRETED per element, so the
+    earlier fold-over-array formulation cost ~1 ms/doc; explode +
+    HashAggregate stays in whole-stage codegen and map-side partial
+    aggregation collapses each doc's tokens to one 65-column row before
+    the (only) shuffle — ~500 bytes/doc regardless of document size.
+    Docs with zero tokens keep fingerprint 0 via explode_outer.
     """
-    init = F.array(*[F.lit(0).cast("long")] * bits)
-
-    def merge(acc, h):
-        votes = F.array(
-            *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                .cast("long")
-                for b in range(bits)
-            ]
+    toks = df.select("doc_id", F.explode_outer(tokens_col(col)).alias("_tok"))
+    h = F.xxhash64("_tok")
+    per = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")).alias(f"_c{b}")
+            for b in range(bits)
+        ],
+        F.count("_tok").alias("_n"),  # non-null: empty docs -> 0
+    )
+    n = F.col("_n")
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        # majority: 2*ones_b > n_tokens, guarded n > 0 — xxhash64(null) is
+        # the SEED hash, not null, so a zero-token doc's explode_outer row
+        # would otherwise vote with the seed's bits; shiftleft is a bit op
+        # (no ANSI overflow even at bit 63)
+        sig = sig.bitwiseOR(
+            F.when((n > 0) & (F.coalesce(F.col(f"_c{b}"), F.lit(0)) * 2 > n),
+                   F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         )
-        return F.zip_with(acc, votes, lambda a, v: a + v)
-
-    base = df.select("doc_id", tokens_col(col).alias("_t"))
-    hashed = F.transform("_t", lambda t: F.xxhash64(t))
-    votes = F.aggregate(hashed, init, merge)
-
-    def pack(vslice):
-        # bit b of the fingerprint = votes[b] > 0; recombine MSB-first so
-        # that acc*2 + bit reproduces sum(bit_b << b)
-        return F.aggregate(
-            F.reverse(vslice),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
-        )
-
-    if bits <= 32:
-        sig = pack(votes)
-    else:
-        lo = pack(F.slice(votes, 1, 32))
-        hi = pack(F.slice(votes, 33, bits - 32))
-        sig = F.shiftleft(hi, 32).bitwiseOR(lo)
-    return base.select("doc_id", sig.alias("simhash"))
+    return per.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -296,20 +294,33 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Band join: the fingerprint split into bits/8 bytes; by pigeonhole a
-    pair within hamming (bits/8 - 1) — i.e. <= 7 at 64-bit — agrees on
-    >= 1 byte -> join per byte-band, then verify with bit_count.
+    Band join with the MINIMAL pigeonhole band count, max_hamming + 1
+    (Manku et al., WWW'07): <= max_hamming differing bits spread over
+    max_hamming+1 bands always leave one band identical, and fewer/wider
+    bands maximize join-key selectivity — at 64-bit/hamming-3 each band
+    key has 16 bits (65536 values) where fixed byte-bands had 256, whose
+    buckets go quadratic (the byte-band formulation spent 17s of a 20s
+    run inside the candidate join at 5k docs and cannot survive large
+    corpora).  Candidates verified exactly with bit_count.
     Output: doc_a, doc_b, hamming.
     """
-    n_bands = bits // 8
+    n_bands = max_hamming + 1
+    base_w = bits // n_bands
+    extra = bits % n_bands  # first `extra` bands are one bit wider
     sig = simhash(df, bits=bits, col=col)
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftright("simhash", i * 8).bitwiseAND(F.lit(0xFF)).alias("chunk"),
+    chunk_structs = []
+    offset = 0
+    for i in range(n_bands):
+        w = base_w + (1 if i < extra else 0)
+        chunk_structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", offset)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("chunk"),
+            )
         )
-        for i in range(n_bands)
-    ]
+        offset += w
     bands = sig.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("bb")
     ).select(

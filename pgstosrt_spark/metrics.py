@@ -32,7 +32,50 @@ from pyspark.sql import functions as F
 
 from .pipeline import extract_cue_rows, split_side_channel
 
-__all__ = ["committed_batches", "pending_documents", "run_with_checkpoints"]
+__all__ = [
+    "committed_batches",
+    "partition_lineage",
+    "pending_documents",
+    "run_with_checkpoints",
+]
+
+
+def partition_lineage(side: DataFrame) -> DataFrame:
+    """Aggregate the kernels' ``_metric`` side-channel into per-physical-
+    partition lineage rows (north_rule: per-partition lineage + metrics):
+
+        part, n_payloads, n_cues, n_bytes, wall_ms, n_errors
+
+    One narrow JSON projection + one tiny groupBy — the metric rows are a
+    few hundred bytes each regardless of payload size, so this aggregates
+    cheaply even when the extraction itself processed terabytes.
+    """
+    metric_schema = "bytes long, cues long, part int, wall_ms double"
+    parsed = side.select(
+        "kind", F.from_json("text", metric_schema).alias("m")
+    )
+    metrics = parsed.filter(F.col("kind") == "_metric").select(
+        F.col("m.part").alias("part"),
+        F.col("m.bytes").alias("bytes"),
+        F.col("m.cues").alias("cues"),
+        F.col("m.wall_ms").alias("wall_ms"),
+    )
+    errors = (
+        parsed.filter(F.col("kind") == "_error")
+        .groupBy()
+        .agg(F.count("*").alias("n"))
+    )
+    agg = metrics.groupBy("part").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("cues").alias("n_cues"),
+        F.sum("bytes").alias("n_bytes"),
+        F.round(F.sum("wall_ms"), 3).alias("wall_ms"),
+    )
+    # error rows carry no partition id (failure may precede the metric);
+    # attach the global count to every row for visibility
+    return agg.crossJoin(
+        F.broadcast(errors.select(F.coalesce(F.first("n"), F.lit(0)).alias("n_errors")))
+    )
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

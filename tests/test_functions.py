@@ -69,6 +69,19 @@ def test_simhash_near_dups(spark, docs):
     sig = dd.simhash(docs)
     vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
     assert all(vals[a] == vals[a + 10_000] for a in range(5))
+    # fingerprints must DISCRIMINATE: a constant-output bug would still
+    # pass the dup assertions above while matching every pair
+    assert len(set(vals.values())) > len(vals) * 0.5
+    n_docs = docs.count()
+    assert len(pairs) < n_docs * 5  # nowhere near all-pairs
+
+
+def test_simhash_empty_and_unrelated_docs(spark):
+    rows = [(1, ""), (2, "   "), (3, "alpha beta gamma delta"), (4, "zeta eta theta iota")]
+    sig = {r["doc_id"]: r["simhash"] for r in dd.simhash(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert sig[1] == 0 and sig[2] == 0  # zero-token docs -> fingerprint 0
+    assert sig[3] != sig[4] and sig[3] != 0
 
 
 def test_ivf_recall_vs_bruteforce(spark, emb):

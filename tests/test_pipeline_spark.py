@@ -116,6 +116,15 @@ def test_metrics_side_channel_and_error_rows(spark):
     [doc] = extract(docs).collect()
     assert [s["kind"] for s in doc["spans"]] == ["cue"]
 
+    # per-partition lineage rollup: payload/cue/byte/wall totals reconcile
+    from pgstosrt_spark.metrics import partition_lineage
+
+    lin = partition_lineage(side).collect()
+    assert sum(r["n_payloads"] for r in lin) == 1  # the good payload
+    assert sum(r["n_cues"] for r in lin) == 1
+    assert all(r["n_errors"] == 1 for r in lin)  # the bad payload, global
+    assert all(r["wall_ms"] >= 0 and r["n_bytes"] > 0 for r in lin)
+
 
 def test_media_only_and_text_only_docs(spark):
     payload = base64.b64encode(enc.build_sup_from_cues([("SOLO", 90_000, 180_000)])).decode()
