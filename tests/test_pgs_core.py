@@ -50,6 +50,21 @@ def test_glyph_atlas_cropped_patterns_unique():
     assert len(cropped_atlas()) == len(glyphs.FONT)
 
 
+def test_language_data_discovery(tmp_path):
+    """S6 (TesseractData.cs:18-66): *.traineddata scan, case-insensitive
+    validation, '+'-joined default, None on miss/empty."""
+    from pgstosrt_spark.pgs.langdata import available_languages, resolve_language
+
+    for name in ("eng.traineddata", "FRA.traineddata", "notes.txt"):
+        (tmp_path / name).write_bytes(b"")
+    d = str(tmp_path)
+    assert available_languages(d) == ["eng", "fra"]
+    assert resolve_language(d, "ENG") == "ENG"  # validated, case kept
+    assert resolve_language(d, "deu") is None  # missing -> abort signal
+    assert resolve_language(d) == "eng+fra"  # default: join all
+    assert resolve_language(str(tmp_path / "nope")) is None  # empty/missing dir
+
+
 def test_ocr_roundtrip_charset():
     text = "ABCDEFGHIJKLM\nNOPQRSTUVWXYZ\n0123456789\n.,:;!?'-()/>"
     img = enc.render_text(text)
