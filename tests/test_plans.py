@@ -46,6 +46,48 @@ def test_partial_aggregation_before_shuffle(spark):
     assert "HashAggregate" in plan[:first_exchange] or "partial" in plan.lower()
 
 
+def test_sketch_ops_stay_in_codegen_aggregates(spark):
+    """simhash/minhash signatures must be explode + HashAggregate (with a
+    map-side partial pass), NOT higher-order array folds — Spark evaluates
+    HOF lambdas interpreted per element, which benched 10x slower and is
+    the difference between surviving wide documents at scale or not."""
+    from pgstosrt_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    for df in (dd.simhash(docs), dd.minhash_signature(docs)):
+        plan = _plan(df, mode="simple")
+        assert "HashAggregate" in plan
+        assert "Generate explode" in plan or "Generate" in plan
+        # map-side combine before the one shuffle
+        first_exchange = plan.find("Exchange")
+        assert first_exchange > 0 and "HashAggregate" in plan[first_exchange:]
+        assert "aggregate(" not in plan, "array-fold HOF back in the hot path"
+        assert "WindowExec" not in plan
+
+
+def test_no_global_window_anywhere(spark):
+    """'No Partition Defined for Window' = all rows to one partition; the
+    round-1 IVF centroid numbering did this — keep it out of every ANN op."""
+    from pyspark.sql import functions as F
+
+    from pgstosrt_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    for df in (
+        sim.ivf_topk(emb, q),
+        sim.embedding_near_dup(emb, threshold=0.9),
+    ):
+        plan = _plan(df, mode="simple")
+        # a Window line renders '[exprs], [partition], [order]' when
+        # partitioned (two '], [' separators) but only '[exprs], [order]'
+        # for the all-rows-to-one-partition global window (one separator)
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert line.count("], [") >= 2, f"global window: {line[:120]}"
+        assert "CartesianProduct" not in plan
+
+
 def test_extraction_plan_single_pass_no_payload_shuffle(spark):
     """Fused mode: the only Exchange is the final groupBy(doc_id) of small
     string rows — base64 payloads never shuffle."""
