@@ -153,6 +153,8 @@ def run_bench(sf_dir: str, cpus: int, runs: int = 3) -> dict:
             "simhash_dups",
             "ann_cosine_topk",
             "ann_ivf_topk",
+            "embedding_near_dup",
+            "track_fanout",
         )
     ]
 

@@ -145,8 +145,16 @@ def ivf_assign(
 
     Assignment = argmax cosine against the broadcast centroid table; one
     narrow pass over the corpus plus a one-row-per-vector shuffle.
+
+    The centroid table (<= n_centroids rows) is persisted: its Lloyd
+    lineage is a full corpus pass, and every consumer of the assignment
+    (probe ranking, pair-join sides, cell-size counts) would otherwise
+    re-run it.  Persisting the *assignment* is deliberately left to
+    callers — it is corpus-sized; at scale the self-join sides share one
+    shuffle via exchange reuse instead.
     """
     cents = _centroids(vectors, n_centroids, id_col, vec_col, refine=refine)
+    cents = cents.persist()
     return _assign(vectors, cents, id_col, vec_col), cents
 
 
