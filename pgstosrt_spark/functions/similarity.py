@@ -18,8 +18,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = ["cosine_topk_bruteforce", "ivf_assign", "ivf_topk", "embedding_near_dup"]
 
@@ -34,6 +37,41 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(_dot(a, a))
+
+
+_COSINE_UDF = None
+
+
+def _cosine_batch(a, b):
+    """Arrow-batched cosine: one numpy einsum per batch.
+
+    Spark's higher-order array functions evaluate per element interpreted,
+    so the expression dot product costs ~dim interpreted ops per pair;
+    this vectorized UDF is the fast path for the ANN operators whose
+    results are verified by recall/planted-dup tests.
+    ``cosine_topk_bruteforce`` deliberately stays on the expression path:
+    its DuckDB oracle sums sequentially, and numpy's pairwise summation
+    could flip a round(score, 4) at the boundary.
+
+    (The pandas_udf is created lazily — the decorator parses its return
+    type through the active SparkSession, which may not exist at module
+    import time.)
+    """
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+
+        def cos(x: pd.Series, y: pd.Series) -> pd.Series:
+            A = np.asarray(x.tolist(), dtype=np.float64)
+            B = np.asarray(y.tolist(), dtype=np.float64)
+            if A.size == 0:
+                return pd.Series(np.zeros(len(x)))
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return pd.Series(np.where(den > 0, num / den, 0.0))
+
+        _COSINE_UDF = pandas_udf(cos, "double")
+    return _COSINE_UDF(a, b)
 
 
 def cosine_topk_bruteforce(
@@ -80,9 +118,8 @@ def _assign(vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> 
         id_col,
         vec_col,
         "centroid_id",
-        (
-            _dot(F.col(vec_col), F.col("c_emb"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("c_emb")))
+        _cosine_batch(
+            F.col(vec_col).cast("array<double>"), F.col("c_emb").cast("array<double>")
         ).alias("c_score"),
     )
     best = F.min_by(
@@ -174,9 +211,8 @@ def ivf_topk(
         "query_id",
         "q_emb",
         "centroid_id",
-        (
-            _dot(F.col("q_emb"), F.col("c_emb"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        _cosine_batch(
+            F.col("q_emb").cast("array<double>"), F.col("c_emb").cast("array<double>")
         ).alias("c_score"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("c_score").desc(), F.col("centroid_id"))
@@ -191,9 +227,8 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        (
-            _dot(F.col("q_emb"), F.col(vec_col))
-            / (_norm(F.col("q_emb")) * _norm(F.col(vec_col)))
+        _cosine_batch(
+            F.col("q_emb").cast("array<double>"), F.col(vec_col).cast("array<double>")
         ).alias("score_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -206,33 +241,33 @@ def ivf_topk(
     )
 
 
-_RP_SCALE = 1000
+def _rp_bits_udf(rp_bands: int, rp_rows: int):
+    """Arrow-batched random-projection sign bits: -> array<int>[rp_bands],
+    band b's value packing its rp_rows hyperplane signs.  Hyperplanes are
+    deterministic (seeded numpy RNG per plane index), identical on every
+    executor and both sides of the pair join — no stored table.  One
+    matmul per batch replaces rp_bands*rp_rows interpreted array folds
+    per vector."""
 
-
-def _rp_bits(vec_col: str, plane_ids) -> F.Column:
-    """Packed sign bits of deterministic pseudo-random hyperplane
-    projections (random-projection LSH).  Weight w(p, i) is pseudo-uniform
-    in [-1, 1] derived from xxhash64(p, element index) — no stored
-    hyperplane table, identical on every executor."""
-    out = F.lit(0)
-    for p in plane_ids:
-        proj = F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda x, i: x.cast("double")
-                * (
-                    (
-                        F.pmod(F.xxhash64(F.lit(int(p)), i), F.lit(2 * _RP_SCALE + 1))
-                        - _RP_SCALE
-                    )
-                    / _RP_SCALE
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    @pandas_udf("array<int>")
+    def f(v: pd.Series) -> pd.Series:
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([[0] * rp_bands for _ in range(len(v))])
+        dim = V.shape[1]
+        n_planes = rp_bands * rp_rows
+        W = np.stack(
+            [
+                np.random.default_rng(1_000_003 + p).uniform(-1.0, 1.0, dim)
+                for p in range(n_planes)
+            ]
         )
-        out = out * 2 + F.when(proj >= 0, 1).otherwise(0)
-    return out
+        signs = (V @ W.T) >= 0  # (n, planes)
+        pack = 1 << np.arange(rp_rows - 1, -1, -1)
+        packed = signs.reshape(len(V), rp_bands, rp_rows) @ pack  # (n, bands)
+        return pd.Series([row.astype(int).tolist() for row in packed])
+
+    return f
 
 
 def embedding_near_dup(
@@ -262,21 +297,27 @@ def embedding_near_dup(
     """
     assigned, _ = ivf_assign(vectors, n_centroids, id_col, vec_col)
     sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("cell_n"))
-    tagged = assigned.join(F.broadcast(sizes), "centroid_id")
-    hot_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                _rp_bits(vec_col, range(band * rp_rows, (band + 1) * rp_rows)).alias(
-                    "bits"
-                ),
-            )
-            for band in range(rp_bands)
-        ]
+    tagged = assigned.join(F.broadcast(sizes), "centroid_id").withColumn(
+        "_rp",
+        F.when(
+            F.col("cell_n") > max_cell,
+            _rp_bits_udf(rp_bands, rp_rows)(F.col(vec_col).cast("array<double>")),
+        ),
     )
-    cold_bucket = F.array(F.struct(F.lit(-1).alias("band"), F.lit(0).alias("bits")))
+    hot_buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(rp_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.element_at(F.col("_rp"), b.cast("int") + 1).alias("bits"),
+        ),
+    )
+    cold_bucket = F.array(
+        F.struct(F.lit(-1).alias("band"), F.lit(0).cast("int").alias("bits"))
+    )
     # ONE narrow pass builds every bucket row (a per-band union would
-    # re-execute the assignment join rp_bands+1 times)
+    # re-execute the assignment join rp_bands+1 times); the sign bits are
+    # computed once per hot vector as a materialized column, so the
+    # per-band transform only indexes into it
     buckets = tagged.select(
         id_col,
         vec_col,
@@ -297,9 +338,9 @@ def embedding_near_dup(
     ).select(
         F.col(f"a.{id_col}").alias("vec_a"),
         F.col(f"b.{id_col}").alias("vec_b"),
-        (
-            _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-            / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}")))
+        _cosine_batch(
+            F.col(f"a.{vec_col}").cast("array<double>"),
+            F.col(f"b.{vec_col}").cast("array<double>"),
         ).alias("score_raw"),
     )
     # hot-cell pairs can collide in several bands -> distinct before output
