@@ -154,6 +154,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup — exact + jaccard DuckDB-verified; hash-sketch ops rows-only
         "exact_dedup": docs_q(dd.exact_dedup),
         "ngram_jaccard_dups": docs_q(lambda df: dd.ngram_jaccard_pairs(df, threshold=0.2)),
+        # connected components over the exact-Jaccard pairs: the keep/drop
+        # decision needs the component (dup relations aren't transitive
+        # pair-wise); DuckDB twin = recursive-CTE transitive closure
+        "dedup_clusters": docs_q(
+            lambda df: dd.near_dup_clusters(
+                df, dd.ngram_jaccard_pairs(df, threshold=0.2)
+            )
+        ),
         "minhash_lsh_dups": docs_q(lambda df: dd.minhash_lsh_pairs(df, threshold=0.2)),
         "simhash_fingerprint": docs_q(dd.simhash),
         "simhash_dups": docs_q(lambda df: dd.simhash_pairs(df, max_hamming=3)),
@@ -362,6 +370,32 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY a.doc_id, b.doc_id)
             SELECT doc_a, doc_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
             FROM p WHERE round(inter / (n_a + n_b - inter), 6) >= 0.2
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 3
+                              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                                i -> array_to_string(toks[i:i+2], ' ')))
+                              ELSE [] END AS sh
+                  FROM t),
+            e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+                         count(*) AS inter
+                  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id),
+            j AS (SELECT doc_a, doc_b FROM p
+                  WHERE round(inter / (n_a + n_b - inter), 6) >= 0.2),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM j
+                      UNION SELECT doc_b, doc_a FROM j),
+            reach AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+            GROUP BY d.doc_id
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

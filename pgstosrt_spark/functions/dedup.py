@@ -40,6 +40,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "near_dup_clusters",
 ]
 
 # 31-bit Mersenne prime: keeps a*x products within long range under
@@ -349,3 +350,66 @@ def simhash_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    The step a dedup pipeline needs AFTER pair generation: duplicate
+    relations are not transitive per-pair (A~B, B~C with A~C below
+    threshold), so keep/drop decisions need the component, not the pair.
+    ``cluster_id`` is the smallest doc id in each component (the canonical
+    keeper); docs in no pair are singletons (cluster_id = own id), so the
+    output has exactly one row per input doc.
+
+    Iterative min-label propagation (the standard distributed CC loop):
+    each round every node takes the min of its own label and its
+    neighbours' labels — the component minimum spreads one hop per round,
+    so rounds needed = component diameter (tiny for dup clusters; capped
+    at ``max_iter``), with convergence detected by the global label sum
+    going stable (labels only ever decrease).  Each round is one
+    hash join + partial-aggregated groupBy; iteration state is persisted
+    and the previous round unpersisted, so lineage stays one round deep.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = sym.distinct().persist()
+    labels = (
+        df.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:  # labels only decrease -> stable sum = done
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -76,6 +76,28 @@ def test_simhash_near_dups(spark, docs):
     assert len(pairs) < n_docs * 5  # nowhere near all-pairs
 
 
+def test_near_dup_clusters_transitive(spark):
+    """Components, not pairs: A~B and B~C must land in one cluster even
+    when A~C alone is below threshold; singletons keep their own id."""
+    base = ["w%d" % i for i in range(12)]
+    rows = [
+        (1, " ".join(base)),                                   # A
+        (2, " ".join(base[:8] + ["x1", "x2", "x3", "x4"])),    # B ~ A
+        (3, " ".join(["x1", "x2", "x3", "x4"] + ["y%d" % i for i in range(8)])),  # C ~ B only
+        (9, "totally unrelated text about nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.1)
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    assert (1, 3) not in got_pairs  # NOT directly similar -> needs CC
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.near_dup_clusters(docs, pairs).collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
 def test_simhash_empty_and_unrelated_docs(spark):
     rows = [(1, ""), (2, "   "), (3, "alpha beta gamma delta"), (4, "zeta eta theta iota")]
     sig = {r["doc_id"]: r["simhash"] for r in dd.simhash(
