@@ -191,7 +191,7 @@ def assemble_spans(documents: DataFrame, cue_rows: DataFrame) -> DataFrame:
             F.collect_list(F.struct("offset", "seq", "kind", "text", "media_ref"))
         ).alias("ordered")
     )
-    return ordered.select(
+    shaped = ordered.select(
         "doc_id",
         F.transform(
             "ordered",
@@ -202,6 +202,22 @@ def assemble_spans(documents: DataFrame, cue_rows: DataFrame) -> DataFrame:
                 x["offset"].alias("offset"),
             ),
         ).alias("spans"),
+    )
+    # shape preservation: a doc whose every span failed extraction (error
+    # rows go to the side channel, not here) must still appear, with empty
+    # spans — otherwise corrupt-input docs silently vanish from the output
+    # table.  The join keys are already co-partitioned with the groupBy
+    # above, so this adds no extra shuffle of the span data.
+    return (
+        documents.select("doc_id")
+        .distinct()
+        .join(shaped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("spans", F.array().cast(shaped.schema["spans"].dataType)).alias(
+                "spans"
+            ),
+        )
     )
 
 

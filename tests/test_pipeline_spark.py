@@ -126,6 +126,28 @@ def test_metrics_side_channel_and_error_rows(spark):
     assert all(r["wall_ms"] >= 0 and r["n_bytes"] > 0 for r in lin)
 
 
+def test_all_failed_doc_keeps_shape(spark):
+    """A doc whose ONLY span is a corrupt media payload must still appear
+    in the extracted table (empty spans) — shape preservation; the error
+    itself lands in the side channel, never silently."""
+    bad = base64.b64encode(b"MKPG" + b"\xff" * 8).decode()
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "only-bad",
+                "spans": [
+                    {"kind": "media", "text": bad, "media_ref": "pgs://b/0", "offset": 0}
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    [doc] = extract(docs).collect()
+    assert doc["doc_id"] == "only-bad" and doc["spans"] == []
+    _cues, side = split_side_channel(extract_cue_rows(docs))
+    assert side.filter(side.kind == "_error").count() == 1
+
+
 def test_media_only_and_text_only_docs(spark):
     payload = base64.b64encode(enc.build_sup_from_cues([("SOLO", 90_000, 180_000)])).decode()
     docs = spark.createDataFrame(
