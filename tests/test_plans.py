@@ -65,6 +65,37 @@ def test_sketch_ops_stay_in_codegen_aggregates(spark):
         assert "WindowExec" not in plan
 
 
+def test_bucketed_join_colocates_without_shuffle(spark, tmp_path):
+    """The 100 TB co-location technique (SURVEY.md §4.3): two tables
+    bucketed + sorted on the join key join with ZERO Exchange — at scale
+    this is how repeated doc_id joins (resume anti-joins, metrics
+    enrichment) avoid reshuffling the corpus every run."""
+    from pyspark.sql import functions as F
+
+    # warehouse dir is a static conf — bucketed tables land in the default
+    # spark-warehouse; DROP TABLE below removes the managed data
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    for name in ("t_bucket_a", "t_bucket_b"):
+        df.write.bucketBy(8, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable(
+            name
+        )
+    try:
+        # hint forces SMJ (AQE would broadcast this tiny table; at corpus
+        # scale SMJ is what actually runs, and bucketing must feed it)
+        joined = spark.table("t_bucket_a").hint("merge").join(
+            spark.table("t_bucket_b"), "doc_id"
+        )
+        plan = _plan(joined, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == 1000
+    finally:
+        for name in ("t_bucket_a", "t_bucket_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_no_global_window_anywhere(spark):
     """'No Partition Defined for Window' = all rows to one partition; the
     round-1 IVF centroid numbering did this — keep it out of every ANN op."""
