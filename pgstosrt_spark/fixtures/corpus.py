@@ -9,8 +9,8 @@ Each doc interleaves prose text spans with media spans whose payloads are
 encoder-built PGS streams of the doc's own words; a deterministic variant
 (crc32 of doc_id) rotates through the fixture classes — plain SUP,
 multi-fragment ODS, long-form RLE, Matroska-style packets, duplicate
-chains, multi-object compositions — so every decode path is exercised at
-corpus scale.  Expected outputs come from the pure-Python oracle
+chains, multi-object compositions, real EBML/Matroska containers — so
+every decode path (including the S2 demux) is exercised at corpus scale.  Expected outputs come from the pure-Python oracle
 (pgs/decode.py), never hand-derived.
 """
 
@@ -36,7 +36,7 @@ __all__ = [
 
 _ATLAS_CHARS = None
 
-N_VARIANTS = 6
+N_VARIANTS = 7
 _TICK_500MS = 45_000
 
 
@@ -96,6 +96,14 @@ def _media_payload(cues: list[str], variant: int) -> bytes:
             [(text, start, end)], extra_objects=[("ALT", (800, 900), 1)]
         )
         return head + enc.build_sup_from_cues(timed[1:]) if len(timed) > 1 else head
+    if variant == 6:  # S2: real EBML/Matroska container (pgs/ebml.py demux)
+        packets = []
+        for i, (text, start, end) in enumerate(timed):
+            ds = enc.build_display_set(text, 0, i, mkv=True, state=0x80)
+            packets.append((start // 90, end // 90, ds))
+        return enc.build_mkv(
+            tracks=[(3, "S_HDMV/PGS", "eng", False)], packets_by_track={3: packets}
+        )
     return enc.build_sup_from_cues(timed)  # F01 plain .sup
 
 

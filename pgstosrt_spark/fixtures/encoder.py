@@ -299,3 +299,77 @@ def build_sup_from_cues(
 def build_sup(segments: list[bytes]) -> bytes:
     """Concatenate pre-built display sets / raw segment bytes."""
     return b"".join(segments)
+
+
+# ---------------------------------------------------------------- EBML (MKV)
+# Inverse of pgs/ebml.py — a minimal Matroska writer so the demux is
+# round-trip-tested without external media.  Known sizes everywhere; one
+# Cluster per packet (relative block timestamp stays 0, so s16 never
+# overflows for long streams).
+
+
+def _ebml_size(n: int) -> bytes:
+    """Minimal-width EBML size vint."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:  # all-ones is 'unknown' — avoid
+            return (n | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _ebml_el(el_id: int, payload: bytes) -> bytes:
+    return el_id.to_bytes((el_id.bit_length() + 7) // 8, "big") + _ebml_size(
+        len(payload)
+    ) + payload
+
+
+def build_mkv(
+    tracks: list[tuple[int, str, str, bool]],
+    packets_by_track: dict[int, list[tuple[int, int, bytes]]],
+) -> bytes:
+    """tracks = [(number, codec_id, language, forced)];
+    packets_by_track[number] = [(start_ms, end_ms, segment_bytes)].
+
+    Packets with end > start become BlockGroup + BlockDuration; end ==
+    start becomes a SimpleBlock (no duration) — matching how the demux
+    reports them back.  Packets across tracks are interleaved by start
+    time (cluster order), like a real muxer.
+    """
+    entries = b"".join(
+        _ebml_el(
+            0xAE,
+            _ebml_el(0xD7, _ebml_uint(num))
+            + _ebml_el(0x86, codec.encode("ascii"))
+            + _ebml_el(0x22B59C, lang.encode("ascii"))
+            + _ebml_el(0x55AA, _ebml_uint(1 if forced else 0)),
+        )
+        for num, codec, lang, forced in tracks
+    )
+    info = _ebml_el(0x1549A966, _ebml_el(0x2AD7B1, _ebml_uint(1_000_000)))
+    all_pkts = sorted(
+        (start, end, num, data)
+        for num, pkts in packets_by_track.items()
+        for start, end, data in pkts
+    )
+    clusters = bytearray()
+    for start, end, num, data in all_pkts:
+        block_payload = _ebml_size(num) + (0).to_bytes(2, "big") + b"\x00" + data
+        if end > start:
+            body = _ebml_el(
+                0xA0,
+                _ebml_el(0xA1, block_payload)
+                + _ebml_el(0x9B, _ebml_uint(end - start)),
+            )
+        else:
+            body = _ebml_el(0xA3, block_payload)
+        clusters += _ebml_el(
+            0x1F43B675, _ebml_el(0xE7, _ebml_uint(start)) + body
+        )
+    segment = _ebml_el(
+        0x18538067, info + _ebml_el(0x1654AE6B, entries) + bytes(clusters)
+    )
+    header = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"matroska"))
+    return header + segment

@@ -52,6 +52,7 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.octet_length("payload").alias("n_bytes"),
         F.when(magic.startswith("5047"), "pgs")  # "PG"
         .when(magic == "4D4B5047", "pgs-mkv")  # "MKPG"
+        .when(magic == "1A45DFA3", "mkv")  # EBML
         .when(magic.startswith("FFD8"), "jpeg")
         .when(magic.startswith("8950"), "png")
         .otherwise("unknown")
@@ -87,6 +88,15 @@ def probe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             elif data[:4] == b"MKPG":
                 mtype = "pgs-mkv"
                 n_units = struct.unpack(">I", data[4:8])[0]
+            elif data[:4] == b"\x1a\x45\xdf\xa3":
+                from .pgs.ebml import mkv_pgs_packets
+                from .pgs.model import DecodeError
+
+                mtype = "mkv"
+                try:
+                    n_units = len(mkv_pgs_packets(data))
+                except DecodeError:
+                    n_units = 0
             else:
                 mtype = "unknown"
             rows.append(

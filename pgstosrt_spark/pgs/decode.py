@@ -6,14 +6,16 @@ rasterize -> OCR -> ordered cues.  The Spark kernels (kernels.py) call
 exactly this code per media payload; tests compare Spark output against it.
 
 Media payload framing (fixture encoder, FIXTURES.md §1):
-  * ``PG...``   — a standalone .sup byte stream (13-byte segment headers);
-  * ``MKPG``    — our deterministic container for Matroska-style packet
-                  sequences: magic + u32 count + per packet
-                  (u64 start_ms, u64 end_ms, u32 len, bytes), big-endian.
-                  Models the reference's .mkv path (3-byte headers,
-                  container timing, cross-packet carry) without an EBML
-                  demuxer — container demux is upstream ingestion
-                  (SURVEY.md §2.1 S2).
+  * ``PG...``       — a standalone .sup byte stream (13-byte headers);
+  * ``\\x1aE\\xdf\\xa3`` — a real Matroska container: the minimal EBML demux
+                  (pgs/ebml.py, SURVEY.md §2.1 S2) selects the first PGS
+                  track and extracts per-packet payloads + container
+                  timestamps, feeding the same packet assembler;
+  * ``MKPG``        — the deterministic packet container: magic + u32
+                  count + per packet (u64 start_ms, u64 end_ms, u32 len,
+                  bytes), big-endian.  Same packet semantics as the EBML
+                  path (3-byte headers, container timing, cross-packet
+                  carry) without the container framing.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from __future__ import annotations
 import struct
 
 from .assemble import assemble_mkv_packets, assemble_sup
+from .ebml import EBML_MAGIC, mkv_pgs_packets
 from .compose import rasterize
 from .merge import apply_duplicate_merge
 from .model import Cue, DecodeError, PcsData
@@ -69,6 +72,8 @@ def decode_to_display_sets(
     """Payload bytes -> merged display sets, dispatching on framing."""
     if payload[:4] == MKV_MAGIC:
         sets = assemble_mkv_packets(unpack_mkv_packets(payload))
+    elif payload[:4] == EBML_MAGIC:
+        sets = assemble_mkv_packets(mkv_pgs_packets(payload))
     else:
         sets = assemble_sup(payload)
     return apply_duplicate_merge(sets, skip_merge, force_merge_all)

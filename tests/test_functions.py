@@ -227,7 +227,7 @@ def test_multimodal_probe(spark):
     docs = synthesize_documents(spark, SF_DIR)
     media = media_table(docs.limit(20))
     stats = media_stats(media).collect()
-    assert all(r["media_type"] in ("pgs", "pgs-mkv") for r in stats)
+    assert all(r["media_type"] in ("pgs", "pgs-mkv", "mkv") for r in stats)
     probed = probe_media(media).collect()
     pgs_rows = [r for r in probed if r["media_type"] == "pgs"]
     assert pgs_rows and all(r["width"] == 1920 and r["n_units"] >= 1 for r in pgs_rows)

@@ -439,3 +439,52 @@ def test_rle_overfilled_row_overlap_replay():
     alpha[2] = 0
     img2 = decode_rle_runs(buf, 4, 3, alpha_lut=alpha)
     assert img2.tolist() == [1, 1, 1, 1, 1, 1, -1, -1, 3, 3, 3, 3]
+
+
+def test_ebml_demux_roundtrip_equals_mkpg():
+    """S2 (PgsParser.cs:30-50 + libse MatroskaFile): the same packet
+    sequence framed as a real EBML container must decode to exactly the
+    cues the MKPG framing produces — demux is pure framing."""
+    from pgstosrt_spark.fixtures.encoder import build_display_set, build_mkv
+    from pgstosrt_spark.pgs.decode import decode_media_payload, pack_mkv_packets
+    from pgstosrt_spark.pgs.ebml import mkv_pgs_packets, mkv_tracks
+
+    packets = []
+    for i, (text, start, end) in enumerate(
+        [("HELLO", 90_000, 180_000), ("WORLD", 270_000, 360_000)]
+    ):
+        ds = build_display_set(text, 0, i, mkv=True, state=0x80)
+        packets.append((start // 90, end // 90, ds))
+
+    mkv = build_mkv(
+        tracks=[
+            (1, "V_MPEG4/ISO/AVC", "und", False),  # non-PGS track: skipped
+            (3, "S_HDMV/PGS", "eng", False),
+        ],
+        packets_by_track={3: packets},
+    )
+    # track metadata round-trips
+    ts = mkv_tracks(mkv)
+    assert [(t.number, t.codec_id, t.language) for t in ts] == [
+        (1, "V_MPEG4/ISO/AVC", "und"),
+        (3, "S_HDMV/PGS", "eng"),
+    ]
+    # packet extraction round-trips (first PGS track auto-selected)
+    assert mkv_pgs_packets(mkv) == packets
+    # end-to-end decode equality vs the MKPG framing of the same packets
+    assert decode_media_payload(mkv) == decode_media_payload(pack_mkv_packets(packets))
+
+
+def test_ebml_demux_rejects_garbage_and_lacing():
+    from pgstosrt_spark.fixtures.encoder import build_mkv
+    from pgstosrt_spark.pgs.ebml import mkv_pgs_packets, mkv_tracks
+    from pgstosrt_spark.pgs.model import DecodeError
+    import pytest as _pytest
+
+    with _pytest.raises(DecodeError):
+        mkv_tracks(b"\x00\x01\x02\x03 not ebml")
+    # laced SimpleBlock: flags byte with lacing bits set must refuse
+    mkv = build_mkv([(3, "S_HDMV/PGS", "eng", False)], {3: [(10, 10, b"\x16\x00\x00")]})
+    laced = mkv.replace(b"\x00" + b"\x16\x00\x00", b"\x06" + b"\x16\x00\x00")
+    with _pytest.raises(DecodeError):
+        mkv_pgs_packets(laced)
