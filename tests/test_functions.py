@@ -221,6 +221,36 @@ def test_track_fanout_numbering(spark):
     }
 
 
+def test_mkv_tracks_feed_language_fanout(spark):
+    """S2 -> S4 interop: track metadata demuxed from a real EBML container
+    drives the language fan-out, reproducing the reference's
+    GetTracksByLanguage-over-MatroskaFile flow end-to-end."""
+    from pgstosrt_spark.fixtures.encoder import build_display_set, build_mkv
+    from pgstosrt_spark.operators.tracks import TRACKS_SCHEMA, tracks_by_language
+    from pgstosrt_spark.pgs.ebml import mkv_tracks
+
+    ds = build_display_set("X", 0, 0, mkv=True, state=0x80)
+    mkv = build_mkv(
+        tracks=[
+            (1, "V_MPEG4/ISO/AVC", "und", False),
+            (2, "S_HDMV/PGS", "eng", False),
+            (3, "S_HDMV/PGS", "eng", False),
+            (4, "S_HDMV/PGS", "fre", False),
+        ],
+        packets_by_track={2: [(10, 20, ds)]},
+    )
+    rows = [
+        ("movie", t.number, t.codec_id, t.language, t.forced) for t in mkv_tracks(mkv)
+    ]
+    got = {
+        r["track_number"]: r["output_name"]
+        for r in tracks_by_language(
+            spark.createDataFrame(rows, TRACKS_SCHEMA), "eng"
+        ).collect()
+    }
+    assert got == {2: "movie.eng.srt", 3: "movie.eng2.srt"}
+
+
 def test_multimodal_probe(spark):
     from pgstosrt_spark.fixtures.corpus import synthesize_documents
 
