@@ -162,7 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 df, dd.ngram_jaccard_pairs(df, threshold=0.2)
             )
         ),
-        "minhash_lsh_dups": docs_q(lambda df: dd.minhash_lsh_pairs(df, threshold=0.2)),
+        # threshold 0.5 = the near-dup operating point LSH is sized for
+        # (k/bands/rows derived from the threshold, rows >= 2: k=22, 11x2);
+        # 0.2-level sweeps belong to the exact-Jaccard baseline above
+        "minhash_lsh_dups": docs_q(lambda df: dd.minhash_lsh_pairs(df, threshold=0.5)),
         "simhash_fingerprint": docs_q(dd.simhash),
         "simhash_dups": docs_q(lambda df: dd.simhash_pairs(df, max_hamming=3)),
         # similarity search over embeddings

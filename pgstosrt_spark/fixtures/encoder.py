@@ -326,9 +326,49 @@ def _ebml_el(el_id: int, payload: bytes) -> bytes:
     ) + payload
 
 
+def _ebml_el_unknown(el_id: int, payload: bytes) -> bytes:
+    """Element with the UNKNOWN size vint (0xFF) — live-mux Cluster style;
+    the demux must terminate it at the next sibling Cluster header."""
+    return el_id.to_bytes((el_id.bit_length() + 7) // 8, "big") + b"\xff" + payload
+
+
+def _ebml_svint(d: int) -> bytes:
+    """Signed vint (EBML lace delta): minimal length l, bias 2^(7l-1)-1."""
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= d <= bias:
+            return ((d + bias) | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError("svint out of range")
+
+
+def _lace_block_payload(track_num: int, frames: list[bytes], mode: str) -> bytes:
+    """SimpleBlock payload with ``mode`` lacing over ``frames`` (the
+    inverse of ebml._lace_sizes; frames share the block timestamp)."""
+    flag_bits = {"xiph": 0x1, "fixed": 0x2, "ebml": 0x3}[mode]
+    out = bytearray(_ebml_size(track_num) + (0).to_bytes(2, "big"))
+    out.append(flag_bits << 1)
+    out.append(len(frames) - 1)
+    if mode == "xiph":
+        for f in frames[:-1]:
+            n = len(f)
+            out.extend(b"\xff" * (n // 255) + bytes([n % 255]))
+    elif mode == "fixed":
+        assert len({len(f) for f in frames}) == 1, "fixed lacing needs equal frames"
+    else:  # ebml
+        if len(frames) > 1:
+            out += _ebml_size(len(frames[0]))
+            for prev, cur in zip(frames, frames[1:-1]):
+                out += _ebml_svint(len(cur) - len(prev))
+    for f in frames:
+        out += f
+    return bytes(out)
+
+
 def build_mkv(
     tracks: list[tuple[int, str, str, bool]],
     packets_by_track: dict[int, list[tuple[int, int, bytes]]],
+    lace: str | None = None,
+    unknown_size_clusters: bool = False,
 ) -> bytes:
     """tracks = [(number, codec_id, language, forced)];
     packets_by_track[number] = [(start_ms, end_ms, segment_bytes)].
@@ -337,6 +377,12 @@ def build_mkv(
     start becomes a SimpleBlock (no duration) — matching how the demux
     reports them back.  Packets across tracks are interleaved by start
     time (cluster order), like a real muxer.
+
+    ``lace`` ('xiph' | 'fixed' | 'ebml') groups consecutive duration-less
+    packets sharing (start, track) into one laced SimpleBlock — the demux
+    must emit the identical packet list as the un-laced twin.
+    ``unknown_size_clusters`` writes every Cluster with the 0xFF unknown
+    size (live-mux layout): the demux must resync at each next Cluster.
     """
     entries = b"".join(
         _ebml_el(
@@ -349,25 +395,46 @@ def build_mkv(
         for num, codec, lang, forced in tracks
     )
     info = _ebml_el(0x1549A966, _ebml_el(0x2AD7B1, _ebml_uint(1_000_000)))
+    # stable sort on start time ONLY: packets sharing a timestamp (e.g. one
+    # display set split across lace frames) must keep their stream order,
+    # which full-tuple sorting would scramble by comparing payload bytes
     all_pkts = sorted(
-        (start, end, num, data)
-        for num, pkts in packets_by_track.items()
-        for start, end, data in pkts
+        (
+            (start, end, num, data)
+            for num, pkts in packets_by_track.items()
+            for start, end, data in pkts
+        ),
+        key=lambda p: p[0],
     )
+    cluster_el = _ebml_el_unknown if unknown_size_clusters else _ebml_el
     clusters = bytearray()
-    for start, end, num, data in all_pkts:
-        block_payload = _ebml_size(num) + (0).to_bytes(2, "big") + b"\x00" + data
-        if end > start:
-            body = _ebml_el(
-                0xA0,
-                _ebml_el(0xA1, block_payload)
-                + _ebml_el(0x9B, _ebml_uint(end - start)),
-            )
+    i = 0
+    while i < len(all_pkts):
+        start, end, num, data = all_pkts[i]
+        if lace and end == start:
+            frames = [data]
+            while (
+                i + 1 < len(all_pkts)
+                and all_pkts[i + 1][:3] == (start, end, num)
+                and (lace != "fixed" or len(all_pkts[i + 1][3]) == len(data))
+            ):
+                i += 1
+                frames.append(all_pkts[i][3])
+            body = _ebml_el(0xA3, _lace_block_payload(num, frames, lace))
         else:
-            body = _ebml_el(0xA3, block_payload)
-        clusters += _ebml_el(
+            block_payload = _ebml_size(num) + (0).to_bytes(2, "big") + b"\x00" + data
+            if end > start:
+                body = _ebml_el(
+                    0xA0,
+                    _ebml_el(0xA1, block_payload)
+                    + _ebml_el(0x9B, _ebml_uint(end - start)),
+                )
+            else:
+                body = _ebml_el(0xA3, block_payload)
+        clusters += cluster_el(
             0x1F43B675, _ebml_el(0xE7, _ebml_uint(start)) + body
         )
+        i += 1
     segment = _ebml_el(
         0x18538067, info + _ebml_el(0x1654AE6B, entries) + bytes(clusters)
     )

@@ -9,10 +9,12 @@ Scale design (100 TB):
                        why the MinHash+LSH variant below is the 10^12-doc
                        path — at scale, run LSH and reserve exact Jaccard
                        for verifying the candidate pairs.
-  * MinHash + LSH    — k=16 permutation-free min-hashes via xxhash64
-                       (JVM-side), banded with (bands, rows) DERIVED from
-                       the threshold (catch probability >= 0.95 at
-                       j=threshold); candidate pairs join on the band key
+  * MinHash + LSH    — permutation-free min-hashes via xxhash64
+                       (JVM-side); signature width k AND (bands, rows)
+                       DERIVED from the threshold (rows >= 2, catch
+                       probability >= 0.95 at j=threshold — single-row
+                       bands would collapse selectivity at low
+                       thresholds); candidate pairs join on the band key
                        (tiny vs all-pairs), then the verify stage
                        semi-joins the corpus down to candidate doc_ids
                        before recomputing shingles.  This is the 10^12-doc
@@ -27,6 +29,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text import tokens_col
@@ -37,6 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signature",
     "lsh_banding",
+    "derive_lsh_params",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
@@ -165,14 +170,20 @@ def minhash_signature(df: DataFrame, k: int = 16, n: int = 3, col: str = "text")
 
 
 def lsh_banding(k: int, threshold: float, target: float = 0.95) -> tuple[int, int]:
-    """Choose (bands, rows) for a k-hash signature from the Jaccard
+    """Choose (bands, rows) for a FIXED k-hash signature from the Jaccard
     threshold: the candidate-catch probability at similarity j under b
     bands of r rows is 1 - (1 - j^r)^b.  Scanning r from largest divisor
     of k down picks the MOST SELECTIVE banding whose catch at j=threshold
     still meets ``target`` — fixed banding ignores the threshold entirely
-    (4x4 at j=0.2 catches ~0.6% of true pairs).  Falls back to (k, 1)
-    (max recall, least selective) when even single-row bands miss the
-    target; raise k for low thresholds if selectivity matters.
+    (4x4 at j=0.2 catches ~0.6% of true pairs).
+
+    Falls back to (k, 1) when even single-row bands miss the target —
+    and WARNS, because r=1 collapses the selectivity the LSH path exists
+    for: a band key is then a single minhash value, and even unrelated
+    pairs at j' collide with probability 1-(1-j')^k (~56% at j'=0.05 for
+    k=16), i.e. near-all-pairs candidates at corpus scale.  Prefer
+    ``derive_lsh_params`` (k chosen FROM the threshold, rows >= 2) when
+    the signature width is not externally fixed.
     """
     for r in range(k, 0, -1):
         if k % r:
@@ -180,12 +191,51 @@ def lsh_banding(k: int, threshold: float, target: float = 0.95) -> tuple[int, in
         b = k // r
         if 1.0 - (1.0 - threshold**r) ** b >= target:
             return b, r
+    warnings.warn(
+        f"lsh_banding: no divisor banding of k={k} meets catch target "
+        f"{target} at threshold {threshold}; falling back to single-row "
+        "bands (r=1), whose candidate join degrades toward all-pairs at "
+        "scale — use derive_lsh_params / k=None to size k from the "
+        "threshold instead",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return k, 1
+
+
+def derive_lsh_params(
+    threshold: float, target: float = 0.95, k_cap: int = 512
+) -> tuple[int, int, int]:
+    """-> (k, bands, rows): the SMALLEST signature width k = b*r with
+    rows >= 2 whose catch probability 1-(1-t^r)^b at j=threshold meets
+    ``target`` — sizing k from the threshold instead of force-fitting a
+    fixed k (whose (k, 1) fallback degrades to near-all-pairs candidates
+    for low thresholds; ADVICE r2).  Low thresholds are intrinsically
+    expensive: t=0.5 -> k=22 (11x2), t=0.3 -> k=64 (32x2), t=0.2 ->
+    k=148 (74x2).  Raises when the cheapest r>=2 configuration exceeds
+    ``k_cap`` — at that point the caller should raise the threshold or
+    accept the exact-Jaccard path's cost."""
+    import math
+
+    best: tuple[int, int, int] | None = None
+    for r in range(2, 9):
+        p = threshold**r
+        if p >= 1.0:
+            continue
+        b = math.ceil(math.log(1.0 - target) / math.log(1.0 - p))
+        if best is None or b * r < best[0]:
+            best = (b * r, b, r)
+    if best is None or best[0] > k_cap:
+        raise ValueError(
+            f"derive_lsh_params: threshold={threshold} needs k={best and best[0]} "
+            f"> k_cap={k_cap}; raise the threshold or the cap"
+        )
+    return best
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
-    k: int = 16,
+    k: int | None = None,
     bands: int | None = None,
     n: int = 3,
     threshold: float = 0.5,
@@ -193,8 +243,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
-    Banding defaults to ``lsh_banding(k, threshold)`` — catch probability
-    >= 0.95 at j=threshold — unless ``bands`` overrides it.  Docs sharing
+    ``k=None`` (default) sizes the signature FROM the threshold via
+    ``derive_lsh_params`` — rows >= 2 with catch >= 0.95 at j=threshold,
+    so the band join stays selective at any threshold.  An explicit ``k``
+    pins the signature width and bands default to ``lsh_banding(k,
+    threshold)``, which warns if it must fall back to single-row bands.
+    Docs sharing
     any band bucket become candidates (the only join — on the band hash,
     tiny at scale); the corpus is then SEMI-JOINED down to candidate
     doc_ids before shingles are recomputed for exact-Jaccard verification,
@@ -202,7 +256,9 @@ def minhash_lsh_pairs(
     re-shingling the whole corpus would double the cost of the operator).
     Output: doc_a, doc_b, jaccard.
     """
-    if bands is None:
+    if k is None:
+        k, bands, rows = derive_lsh_params(threshold)
+    elif bands is None:
         bands, rows = lsh_banding(k, threshold)
     else:
         rows = k // bands
@@ -357,6 +413,7 @@ def near_dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 10,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id).
 
@@ -375,7 +432,17 @@ def near_dup_clusters(
     going stable (labels only ever decrease).  Each round is one
     hash join + partial-aggregated groupBy; iteration state is persisted
     and the previous round unpersisted, so lineage stays one round deep.
+
+    If the label sum has not stabilized after ``max_iter`` rounds (a
+    component with diameter > max_iter — long duplicate chains), the
+    returned labels would silently violate the smallest-id contract, so
+    the loop FAILS LOUDLY instead: ``on_nonconverged`` = 'raise' (default)
+    or 'warn' (returns the partial labels; caller accepts the risk).
+    Duplicate clusters are near-cliques in practice, so diameters are
+    tiny; raise max_iter for pathological chain-shaped inputs.
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -389,6 +456,7 @@ def near_dup_clusters(
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -409,7 +477,18 @@ def near_dup_clusters(
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:  # labels only decrease -> stable sum = done
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"near_dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (a component diameter exceeds it); cluster_id would "
+            "violate the smallest-doc-id contract — raise max_iter"
+        )
+        if on_nonconverged == "raise":
+            labels.unpersist()
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

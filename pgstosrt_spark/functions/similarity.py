@@ -24,7 +24,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["cosine_topk_bruteforce", "ivf_assign", "ivf_topk", "embedding_near_dup"]
+__all__ = [
+    "cosine_topk_bruteforce",
+    "ivf_assign",
+    "ivf_topk",
+    "embedding_near_dup",
+    "unpersist_ivf_caches",
+]
+
+# Tables persisted by ivf_assign, newest last.  Each new ivf_assign call
+# unpersists the previous call's tables (ADVICE r2: repeated calls in a
+# long session would otherwise accumulate cached blocks forever);
+# unpersisting only drops the cache — an earlier returned DataFrame still
+# computes, it just re-runs its lineage.  ``unpersist_ivf_caches()`` is
+# the explicit end-of-job hook.
+_IVF_CACHES: list = []
+
+
+def unpersist_ivf_caches() -> None:
+    """Drop every table ivf_assign persisted in this session."""
+    while _IVF_CACHES:
+        _IVF_CACHES.pop().unpersist()
+
+
 
 
 def _dot(a, b):
@@ -173,33 +195,54 @@ def _centroids(
 
 def ivf_assign(
     vectors: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine: int = 1,
+    persist_assignment: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (assigned vectors with centroid_id, centroid table).
 
     Assignment = argmax cosine against the broadcast centroid table; one
     narrow pass over the corpus plus a one-row-per-vector shuffle.
 
+    ``n_centroids=None`` sizes the index as ~sqrt(N) (clamped to
+    [16, 65536]) — the classic IVF balance point where cell scan cost
+    N/cells matches probe cost over cells; costs one count() pass,
+    which the Lloyd refinement amortizes.  At 10^12 rows pass an explicit
+    count-derived value instead of the default 16 (which would make every
+    cell ~6*10^10 vectors).
+
     The centroid table (<= n_centroids rows) is persisted: its Lloyd
     lineage is a full corpus pass, and every consumer of the assignment
     (probe ranking, pair-join sides, cell-size counts) would otherwise
-    re-run it.  Persisting the *assignment* is deliberately left to
-    callers — it is corpus-sized; at scale the self-join sides share one
-    shuffle via exchange reuse instead.
+    re-run it.  ``persist_assignment=True`` also persists the assignment
+    table — the right call when it is consumed more than once (e.g. the
+    two sides of a pair join plus a cell-size count); it is corpus-sized,
+    so the default leaves multi-consumer plans to exchange reuse.
+    Persisted tables are registered session-wide; the NEXT ivf_assign call
+    (or ``unpersist_ivf_caches()``) unpersists them, so repeated calls do
+    not accumulate cached blocks (ADVICE r2) — an earlier call's returned
+    DataFrames stay valid, they just recompute once evicted.
     """
+    if n_centroids is None:
+        n = vectors.count()
+        n_centroids = max(16, min(65536, int(n**0.5)))
     cents = _centroids(vectors, n_centroids, id_col, vec_col, refine=refine)
-    cents = cents.persist()
-    return _assign(vectors, cents, id_col, vec_col), cents
+    assigned = _assign(vectors, cents.persist(), id_col, vec_col)
+    fresh = [cents]
+    if persist_assignment:
+        fresh.append(assigned.persist())
+    unpersist_ivf_caches()
+    _IVF_CACHES.extend(fresh)
+    return assigned, cents
 
 
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -273,7 +316,7 @@ def _rp_bits_udf(rp_bands: int, rp_rows: int):
 def embedding_near_dup(
     vectors: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     max_cell: int = 4096,
     rp_bands: int = 4,
     rp_rows: int = 4,
@@ -295,7 +338,11 @@ def embedding_near_dup(
     identical projections, so they are caught with probability 1.
     Output: vec_a, vec_b, cosine.
     """
-    assigned, _ = ivf_assign(vectors, n_centroids, id_col, vec_col)
+    # the assignment feeds the cell-size count AND both pair-join sides:
+    # persist it (one computation, plan-asserted in tests/test_plans.py)
+    assigned, _ = ivf_assign(
+        vectors, n_centroids, id_col, vec_col, persist_assignment=True
+    )
     sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("cell_n"))
     tagged = assigned.join(F.broadcast(sizes), "centroid_id").withColumn(
         "_rp",

