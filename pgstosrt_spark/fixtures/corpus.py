@@ -32,6 +32,7 @@ __all__ = [
     "expected_extracted_rows",
     "corpus_kernel",
     "synthesize_documents",
+    "synthesize_skewed_documents",
 ]
 
 _ATLAS_CHARS = None
@@ -165,6 +166,110 @@ def corpus_kernel(batches):
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             rows.append({"doc_id": str(doc_id), "spans": doc_to_span_rows(str(doc_id), text)})
         yield pd.DataFrame(rows)
+
+
+def _skew_span(doc_id: str, idx: int, n_cues: int) -> dict:
+    """One media span with ``n_cues`` deterministic cues (text varies per
+    cue so dup-merge cannot collapse the work)."""
+    cues = [f"SKEW {doc_id[-6:]} S{idx} C{j}" for j in range(n_cues)]
+    return {
+        "kind": "media",
+        "text": base64.b64encode(enc.build_sup_from_cues(_timed(cues))).decode(),
+        "media_ref": f"pgs://{doc_id}/{idx}",
+        "offset": idx,
+    }
+
+
+def synthesize_skewed_documents(
+    spark,
+    n_wide_spans: int = 1000,
+    n_monster_docs: int = 8,
+    monster_cues: int = 12_000,
+    wide_cues: int = 4,
+):
+    """The north_rule's skew shapes, deterministic and self-contained:
+
+      * ONE document with ``n_wide_spans`` small media spans — doc-level
+        skew: the final groupBy(doc_id) folds 10^3 spans into one row;
+      * ``n_monster_docs`` documents of ONE multi-MB media span each
+        (``monster_cues`` compositions, ~400 B/display-set -> ~5 MB of
+        payload): span-level skew, where a fused kernel pins one task per
+        payload for the whole decode+OCR and the two-phase rebalance is
+        the designed escape hatch (SURVEY.md §4.3.1).
+
+    Payloads are encoder-built on executors (one task per monster doc /
+    wide-span slice), never on the driver.
+    """
+    import pyspark.sql.functions as _F
+
+    wide_slices = 32  # build the wide doc's 1000 spans across tasks
+    spec = [("monster", i, 0, 0) for i in range(n_monster_docs)] + [
+        ("wide", 0, s, wide_slices) for s in range(wide_slices)
+    ]
+    spec_df = spark.createDataFrame(
+        spec, "shape string, idx int, slice int, n_slices int"
+    ).repartition(len(spec))
+
+    per_slice = n_wide_spans // wide_slices
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for shape, idx, sl, _n in zip(
+                pdf["shape"], pdf["idx"], pdf["slice"], pdf["n_slices"]
+            ):
+                if shape == "monster":
+                    doc_id = f"skew-monster-{idx}"
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "spans": [_skew_span(doc_id, 0, monster_cues)],
+                        }
+                    )
+                else:  # one slice of the wide doc's span list
+                    doc_id = "skew-wide-0"
+                    spans = [
+                        _skew_span(doc_id, sl * per_slice + k, wide_cues)
+                        for k in range(per_slice)
+                    ]
+                    rows.append({"doc_id": f"_slice:{doc_id}:{sl}", "spans": spans})
+            yield pd.DataFrame(rows)
+
+    from ..sources.tables import DOCUMENTS_SCHEMA
+
+    built = spec_df.mapInPandas(kernel, schema=DOCUMENTS_SCHEMA)
+    # fold the wide doc's slices into the single skewed document
+    return (
+        built.withColumn(
+            "doc_id",
+            _F.when(
+                _F.col("doc_id").startswith("_slice:"),
+                _F.split("doc_id", ":").getItem(1),
+            ).otherwise(_F.col("doc_id")),
+        )
+        .select("doc_id", _F.explode("spans").alias("span"))
+        .groupBy("doc_id")
+        .agg(
+            _F.transform(
+                _F.array_sort(
+                    _F.collect_list(
+                        _F.struct(
+                            _F.col("span.offset").alias("offset"),
+                            _F.col("span.kind").alias("kind"),
+                            _F.col("span.text").alias("text"),
+                            _F.col("span.media_ref").alias("media_ref"),
+                        )
+                    )
+                ),
+                lambda s: _F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans")
+        )
+    )
 
 
 def synthesize_documents(spark, sf_dir: str):

@@ -229,12 +229,16 @@ def ivf_assign(
         n = vectors.count()
         n_centroids = max(16, min(65536, int(n**0.5)))
     cents = _centroids(vectors, n_centroids, id_col, vec_col, refine=refine)
-    assigned = _assign(vectors, cents.persist(), id_col, vec_col)
-    fresh = [cents]
-    if persist_assignment:
-        fresh.append(assigned.persist())
+    # unpersist the PREVIOUS call's tables before persisting this call's:
+    # the CacheManager keys entries by canonicalized plan, so when two
+    # calls produce identical plans (same input, same params) the reverse
+    # order would drop the fresh entry along with the stale one and leave
+    # nothing cached at all
     unpersist_ivf_caches()
-    _IVF_CACHES.extend(fresh)
+    assigned = _assign(vectors, cents.persist(), id_col, vec_col)
+    _IVF_CACHES.append(cents)
+    if persist_assignment:
+        _IVF_CACHES.append(assigned.persist())
     return assigned, cents
 
 

@@ -66,7 +66,7 @@ def extract_cue_rows(
     mode: str = "fused",
     backend: OcrBackend | None = None,
     balance: bool | str = "auto",
-    rebalance_partitions: int | None = None,
+    rebalance_partitions: int | str | None = None,
     size_threshold: int = 4 << 20,
     skip_merge: bool = False,
     force_merge_all: bool = False,
@@ -105,7 +105,9 @@ def extract_cue_rows(
         # bytes.  Hash partitioning is deterministic by key, so it skips
         # that sort; (doc_id, offset) is unique per media span -> balanced.
         media = media.repartition(
-            rebalance_partitions or 4 * slots, F.col("doc_id"), F.col("offset")
+            rebalance_partitions if isinstance(rebalance_partitions, int) else 4 * slots,
+            F.col("doc_id"),
+            F.col("offset"),
         )
 
     kernel_kw = dict(
@@ -123,16 +125,28 @@ def extract_cue_rows(
             make_parse_kernel(skip_merge=skip_merge, force_merge_all=force_merge_all),
             schema=COMP_SCHEMA,
         )
-        n = rebalance_partitions or 4 * slots
         # hash, not round-robin: avoids the sortBeforeRepartition local sort
         # of the pickled-composition binaries; (doc_id, offset, seq) is
         # unique per composition, so buckets stay balanced.  ALL rows ride
         # the one repartition — the tiny _metric/_error side channel passes
         # through the OCR kernel unchanged instead of a second filter
         # branch, which (uncached) would re-execute the whole parse kernel.
-        return comps.repartition(
-            n, F.col("doc_id"), F.col("offset"), F.col("seq")
-        ).mapInPandas(
+        #
+        # Width: default 4x slots.  The decode+OCR stage is CPU-bound per
+        # COMPOSITION, which byte-based AQE coalescing cannot see (it
+        # balances shuffle bytes, and RLE size is a poor proxy for pixel
+        # count x OCR cost) — measured on the skewed bench corpus (BENCH
+        # r3 skew section) 4x slots beats both 1x (stragglers from comp
+        # cost variance) and AQE-advisory widths, at negligible shuffle
+        # overhead since composition rows are RLE-compressed and small.
+        # ``rebalance_partitions='aqe'`` keeps the measured alternative
+        # reachable: repartition by key only, width chosen by AQE.
+        keys = (F.col("doc_id"), F.col("offset"), F.col("seq"))
+        if rebalance_partitions == "aqe":
+            rebalanced = comps.repartition(*keys)
+        else:
+            rebalanced = comps.repartition(rebalance_partitions or 4 * slots, *keys)
+        return rebalanced.mapInPandas(
             make_ocr_kernel(
                 backend=backend, multi_object_opacity_fix=multi_object_opacity_fix
             ),

@@ -177,6 +177,39 @@ def test_skew_doc_many_media_spans(spark):
     assert len(fused["skew"]) == 60
 
 
+def test_skew_bench_corpus_mode_equivalence(spark):
+    """The bench's skewed corpus (1 wide doc + monster single-span docs,
+    fixtures.corpus.synthesize_skewed_documents) must extract identically
+    under fused / two_phase / two_phase-AQE-width / size_bucketed — the
+    skew bench (VERDICT r2 item 2) times these modes, so their
+    equivalence is the precondition for the comparison meaning anything."""
+    from pgstosrt_spark.fixtures.corpus import synthesize_skewed_documents
+
+    sk = synthesize_skewed_documents(
+        spark, n_wide_spans=64, n_monster_docs=2, monster_cues=40, wide_cues=2
+    ).cache()
+    shapes = sorted(
+        (r["doc_id"], r["n"])
+        for r in sk.select("doc_id", F.size("spans").alias("n")).collect()
+    )
+    assert shapes == [
+        ("skew-monster-0", 1),
+        ("skew-monster-1", 1),
+        ("skew-wide-0", 64),
+    ]
+    want = _collect_spans(extract(sk, mode="fused"))
+    assert len(want["skew-monster-0"]) == 40
+    assert _collect_spans(extract(sk, mode="two_phase")) == want
+    assert (
+        _collect_spans(extract(sk, mode="two_phase", rebalance_partitions="aqe"))
+        == want
+    )
+    assert (
+        _collect_spans(extract(sk, mode="size_bucketed", size_threshold=4096)) == want
+    )
+    sk.unpersist()
+
+
 def test_size_bucketed_matches_fused(spark, small_docs):
     docs, rows = small_docs
     # threshold of 2 KB routes some payloads through each path
