@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_anti_resume": lambda s, sf: rel.left_anti_resume(_utc(s), sf),
         "union_merge_order": lambda s, sf: rel.union_merge_order(_utc(s), sf),
         "sessionize": lambda s, sf: rel.sessionize(_utc(s), sf),
+        "rollup_revenue": lambda s, sf: rel.rollup_revenue(_utc(s), sf),
+        "set_intersect": lambda s, sf: rel.set_intersect(_utc(s), sf),
+        "set_except": lambda s, sf: rel.set_except(_utc(s), sf),
+        "global_topk": lambda s, sf: rel.global_topk(_utc(s), sf),
         # text analysis — DuckDB-verified
         "token_count": docs_q(tx.token_count),
         "quality_score": docs_q(tx.quality_score),
@@ -174,6 +178,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_ivf_topk": lambda s, sf: sim.ivf_topk(
             _embeddings(_utc(s), sf), _embeddings(s, sf).filter(F.col("vec_id") < 5)
+        ),
+        # centroid-free LSH-bucketed ANN; recall pinned vs brute force in
+        # tests/ (driver embeddings have no high-cosine structure, so the
+        # query plants 5 exact duplicates the index must rank first)
+        "ann_lsh_topk": lambda s, sf: sim.lsh_topk(
+            _embeddings(_utc(s), sf).unionByName(
+                _embeddings(s, sf)
+                .filter(F.col("vec_id") < 5)
+                .withColumn("vec_id", F.col("vec_id") + 100_000)
+            ),
+            _embeddings(_utc(s), sf).filter(F.col("vec_id") < 5),
         ),
         # the driver embeddings have no natural near-dups (max pairwise
         # cosine ~0.51 at sf0.01), so the query plants 10 exact duplicates
@@ -293,6 +308,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        "rollup_revenue": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL THEN 3
+                        WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid,
+                   CAST(sum({disc_price}) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "set_intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "set_except": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "global_topk": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
         """,
         "track_fanout": """
             WITH t AS (
@@ -421,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         #   srt_render — PGS binary kernels + OCR, not SQL-expressible;
         #   minhash_lsh_dups / simhash_fingerprint / simhash_dups —
         #     xxhash64 has no DuckDB equivalent;
-        #   ann_ivf_topk / embedding_near_dup — centroid argmax assignment
-        #     (verified in tests/test_functions.py for recall vs brute force).
+        #   ann_ivf_topk / ann_lsh_topk / embedding_near_dup — centroid
+        #     argmax assignment / hyperplane sign-bit banding (verified in
+        #     tests/test_functions.py for recall vs brute force).
     }

@@ -278,8 +278,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "simhash_dups",
             "ann_cosine_topk",
             "ann_ivf_topk",
+            "ann_lsh_topk",
             "embedding_near_dup",
             "track_fanout",
+            "rollup_revenue",
+            "global_topk",
         )
     ]
     timings, samples, validity = _measure_interleaved(thunks)

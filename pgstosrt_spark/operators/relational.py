@@ -178,6 +178,62 @@ def union_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.unionByName(views).orderBy("event_id")
 
 
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (absent in the reference — §2.6 completeness
+    row): per (returnflag, linestatus) revenue with subtotal and grand
+    total rows.  grouping_id disambiguates NULL-as-data from
+    NULL-as-subtotal; decimal sums keep the oracle value-hash exact.
+    Scale: rollup is a single shuffle with map-side partial aggregation
+    over the grouping-set expansion — no extra pass per level."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "revenue", "n_items")
+    )
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): customers holding both an open ('O') and
+    a fulfilled ('F') order.  Spark plans this as a left-semi aggregate
+    join — distinct-then-join, one shuffle per side."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(done)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers with open orders but no
+    fulfilled ones — the left-anti dual of :func:`set_intersect`.
+    ``subtract`` is EXCEPT DISTINCT (set semantics): any appearance on the
+    right removes the key entirely, unlike ``exceptAll``'s bag math."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.subtract(done)
+
+
+def global_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Global ORDER BY + LIMIT: Spark executes TakeOrderedAndProject —
+    per-partition top-k heaps merged at the driver, never a global sort
+    shuffle, so it scales to any partition count."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (run-length session grouping §2.6):
     lag(ts) -> gap>threshold -> cumsum session id -> per-session agg."""

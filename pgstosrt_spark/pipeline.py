@@ -135,10 +135,16 @@ def extract_cue_rows(
         # Width: default 4x slots.  The decode+OCR stage is CPU-bound per
         # COMPOSITION, which byte-based AQE coalescing cannot see (it
         # balances shuffle bytes, and RLE size is a poor proxy for pixel
-        # count x OCR cost) — measured on the skewed bench corpus (BENCH
-        # r3 skew section) 4x slots beats both 1x (stragglers from comp
-        # cost variance) and AQE-advisory widths, at negligible shuffle
-        # overhead since composition rows are RLE-compressed and small.
+        # count x OCR cost).  Measured on the skewed bench corpus (BENCH/
+        # BASELINE.md skew section, probe-gated): 4x slots ~7.6s (the only
+        # near-clean samples), 1x statistically indistinguishable (its one
+        # faster sample has a burst-corrupted post-probe), while 8x
+        # (~10.4s+) and AQE-advisory (~9.1s+) are consistently worse —
+        # AQE coalesces the small composition rows into too few tasks for
+        # a per-row-CPU-bound stage.  4x stays the default: equal-best on
+        # skew and more headroom against per-composition cost variance on
+        # uniform corpora, at negligible shuffle overhead since
+        # composition rows are RLE-compressed and small.
         # ``rebalance_partitions='aqe'`` keeps the measured alternative
         # reachable: repartition by key only, width chosen by AQE.
         keys = (F.col("doc_id"), F.col("offset"), F.col("seq"))

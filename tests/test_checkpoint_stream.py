@@ -186,3 +186,58 @@ def test_srt_sink_idempotent_rerun_and_collision(spark, tmp_path):
 
     with _pytest.raises(Exception, match="collision"):
         write_srt_files(bad, str(tmp_path / "srt_bad")).collect()
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window agg (streaming/windowed.py): under
+    append mode every emitted window is FINALIZED — byte-equal to the
+    batch twin — while tail windows the watermark has not passed stay
+    withheld, and state stays bounded.  The event log is replayed in time
+    order (explicit ascending file mtimes: the file source processes by
+    modification time, not name), so the per-batch watermark advance
+    never declares in-order data late."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgstosrt_spark.streaming.windowed import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    t0 = 1_700_000_000
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 8)):
+        f = str(src / f"part-{i:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[chunk], preserve_index=False),
+            f,
+            coerce_timestamps="us",
+        )
+        os.utime(f, (t0 + i, t0 + i))
+
+    q = (
+        windowed_event_counts(read_events_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_agg")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["n_events"], r["total_value"])
+           for r in spark.sql("select * from win_agg").collect()}
+    batch = {key(r): (r["n_events"], r["total_value"])
+             for r in windowed_event_counts(ev).collect()}
+    assert got, "no window was finalized by the watermark"
+    for k, v in got.items():
+        assert batch[k] == v, f"emitted window differs from batch: {k}"
+    # the final day's windows cannot have been passed by the watermark
+    last_start = max(k[0] for k in batch)
+    assert all(k[0] < last_start for k in got)
+    assert len(got) < len(batch)

@@ -173,6 +173,44 @@ def test_ivf_sqrt_n_centroids_recall_on_synthetic(spark):
     sim.unpersist_ivf_caches()
 
 
+def test_lsh_topk_recall_on_clustered_synthetic(spark):
+    """Hyperplane-LSH top-k (the centroid-free ANN scale path) must keep
+    recall vs brute force >= 0.9 on a clustered corpus whose neighbors sit
+    at intra-cluster cosine ~0.99 — the high-similarity regime the default
+    (16 bands x 8 rows) banding is sized for."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim, n_clusters = 5_000, 8, 50
+    centers = rng.normal(size=(n_clusters, dim))
+    ids = np.arange(n)
+    vecs = centers[ids % n_clusters] + 0.05 * rng.normal(size=(n, dim))
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    emb5k = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+    queries = emb5k.filter(F.col("vec_id") < 8)
+    bf_sets, lsh_sets = {}, {}
+    for r in sim.cosine_topk_bruteforce(emb5k, queries, k=10).collect():
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in sim.lsh_topk(emb5k, queries, k=10).collect():
+        lsh_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_lsh_topk_exact_duplicate_always_found(spark, emb):
+    """An exact duplicate has identical sign bits in every band, so it is
+    a candidate with probability 1 and must rank first at score 1.0."""
+    dup = emb.filter(F.col("vec_id") == 3).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    res = sim.lsh_topk(emb.unionByName(dup), emb.filter(F.col("vec_id") == 3), k=3)
+    top = [r for r in res.collect() if r["rnk"] == 1]
+    assert len(top) == 1
+    assert top[0]["neighbor_id"] == 100_003 and top[0]["score"] == 1.0
+
+
 def test_ivf_cache_registry_bounded(spark, emb):
     """Repeated ivf_assign calls must not accumulate persisted tables for
     the session lifetime (ADVICE r2): each call evicts the previous

@@ -79,6 +79,7 @@ def test_all_queries_have_oracle_or_are_documented():
         "simhash_fingerprint",
         "simhash_dups",
         "ann_ivf_topk",
+        "ann_lsh_topk",
         "embedding_near_dup",
     }
     assert rows_only == documented
