@@ -241,3 +241,63 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     last_start = max(k[0] for k in batch)
     assert all(k[0] < last_start for k in got)
     assert len(got) < len(batch)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState gap sessionization (streaming/sessions.py):
+    every emitted session is byte-equal to its batch twin
+    (operators.relational.sessionize) — ordinals, bounds, counts, and the
+    decimal-exact value sum — no matter how events split across
+    micro-batches; the only withheld sessions are per-user FINAL sessions
+    the watermark has not yet timed out."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgstosrt_spark.operators.relational import sessionize
+    from pgstosrt_spark.streaming.sessions import sessionize_stream
+    from pgstosrt_spark.streaming.windowed import read_events_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    t0 = 1_700_000_000
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 8)):
+        f = str(src / f"part-{i:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[chunk], preserve_index=False),
+            f,
+            coerce_timestamps="us",
+        )
+        os.utime(f, (t0 + i, t0 + i))
+
+    q = (
+        sessionize_stream(read_events_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    val = lambda r: (  # noqa: E731
+        r["session_start"], r["session_end"], r["n_events"], r["total_value"]
+    )
+    got = {(r["user_id"], r["session_id"]): val(r)
+           for r in spark.sql("select * from sess_stream").collect()}
+    batch = {(r["user_id"], r["session_id"]): val(r)
+             for r in sessionize(spark, "/root/testdata/sf0.01").collect()}
+    assert got, "no session was emitted"
+    for k, v in got.items():
+        assert batch.get(k) == v, f"emitted session differs from batch: {k}"
+    # withheld = still-open sessions = each user's final session only
+    last = {}
+    for (u, sid) in batch:
+        last[u] = max(last.get(u, 0), sid)
+    missing = set(batch) - set(got)
+    assert missing, "expected the tail sessions to still be open"
+    assert all(sid == last[u] for (u, sid) in missing)
+    assert len(got) > len(batch) / 2  # the bulk of history was emitted
