@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["EVENTS_SCHEMA", "read_events_stream", "windowed_event_counts"]
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "windowed_event_counts",
+    "session_window_counts",
+]
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -86,6 +91,45 @@ def windowed_event_counts(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap sessions via the BUILT-IN ``F.session_window`` — the
+    Catalyst-native declarative twin of the custom stateful operator in
+    ``streaming/sessions.py``.
+
+    Use this one when the per-session output is a plain aggregate (count /
+    sum / min / max): the whole operator stays JVM-side with merging
+    session state managed by Spark, and the watermark finalizes + evicts
+    closed sessions exactly as in :func:`windowed_event_counts`.  The
+    custom ``applyInPandasWithState`` variant exists for semantics this
+    cannot express (per-user session ordinals, arbitrary Python folds).
+    Note the boundary convention: ``session_end`` here is
+    last_event_ts + gap (exclusive, Spark's definition), where the batch
+    ``sessionize`` operator reports max(ts).  Same static-or-streaming
+    duality as the tumbling variant — the function is its own batch twin.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
             "n_events",
             "total_value",
         )

@@ -301,3 +301,60 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert missing, "expected the tail sessions to still be open"
     assert all(sid == last[u] for (u, sid) in missing)
     assert len(got) > len(batch) / 2  # the bulk of history was emitted
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Built-in F.session_window sessions (the declarative twin of the
+    stateful kernel): append-mode emitted sessions equal the batch run of
+    the same expression AND agree with the batch sessionize operator on
+    (session_start, n_events, total_value) per user — only watermark-open
+    tails withheld."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgstosrt_spark.operators.relational import sessionize
+    from pgstosrt_spark.streaming.windowed import (
+        read_events_stream,
+        session_window_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "sw_src"
+    src.mkdir()
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    t0 = 1_700_000_000
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 8)):
+        f = str(src / f"part-{i:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[chunk], preserve_index=False),
+            f,
+            coerce_timestamps="us",
+        )
+        os.utime(f, (t0 + i, t0 + i))
+
+    q = (
+        session_window_counts(read_events_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sw_agg")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+           for r in spark.sql("select * from sw_agg").collect()}
+    batch = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+             for r in session_window_counts(ev).collect()}
+    assert got and len(got) < len(batch)
+    for k, v in got.items():
+        assert batch.get(k) == v, f"emitted session differs from batch twin: {k}"
+    # cross-check vs the batch sessionize OPERATOR (different formulation,
+    # same gap rule): identical (session_start -> n_events, total_value)
+    op = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+          for r in sessionize(spark, "/root/testdata/sf0.01").collect()}
+    assert set(batch) == set(op)
+    for k, v in batch.items():
+        assert op[k] == v, f"session_window disagrees with sessionize: {k}"

@@ -107,6 +107,7 @@ def test_no_global_window_anywhere(spark):
     q = emb.filter(F.col("vec_id") < 5)
     for df in (
         sim.ivf_topk(emb, q),
+        sim.lsh_topk(emb, q),
         sim.embedding_near_dup(emb, threshold=0.9),
     ):
         plan = _plan(df, mode="simple")
@@ -117,6 +118,22 @@ def test_no_global_window_anywhere(spark):
             if "Window [" in line:
                 assert line.count("], [") >= 2, f"global window: {line[:120]}"
         assert "CartesianProduct" not in plan
+
+
+def test_lsh_topk_broadcast_bucket_join(spark):
+    """lsh_topk candidates come from a broadcast bucket equi-join on
+    (band, bits) with the tiny query side — never a nested-loop/cartesian
+    enumeration of the corpus pairs."""
+    from pyspark.sql import functions as F
+
+    from pgstosrt_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(sim.lsh_topk(emb, q), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan[:400]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_embedding_near_dup_assignment_computed_once(spark):
