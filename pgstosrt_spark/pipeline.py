@@ -136,17 +136,21 @@ def extract_cue_rows(
         # COMPOSITION, which byte-based AQE coalescing cannot see (it
         # balances shuffle bytes, and RLE size is a poor proxy for pixel
         # count x OCR cost).  Measured on the skewed bench corpus (BENCH/
-        # BASELINE.md skew section, probe-gated): 4x slots ~7.6s (the only
-        # near-clean samples), 1x statistically indistinguishable (its one
-        # faster sample has a burst-corrupted post-probe), while 8x
-        # (~10.4s+) and AQE-advisory (~9.1s+) are consistently worse —
-        # AQE coalesces the small composition rows into too few tasks for
-        # a per-row-CPU-bound stage.  4x stays the default: equal-best on
-        # skew and more headroom against per-composition cost variance on
-        # uniform corpora, at negligible shuffle overhead since
-        # composition rows are RLE-compressed and small.
-        # ``rebalance_partitions='aqe'`` keeps the measured alternative
-        # reachable: repartition by key only, width chosen by AQE.
+        # BASELINE.md skew sections, probe-gated, two runs): every
+        # two-phase width beats fused (clean 15.8s) by ~2x; among widths,
+        # 1x slots is clean-fastest on this host (6.3-7.5s, single wave —
+        # local[32] has uniform cores, so extra waves only add Python-
+        # worker dispatch overhead), 4x ~7.6-8.3s, while 8x and
+        # AQE-advisory are consistently worst — AQE coalesces the small
+        # composition rows by BYTES into too few tasks for a
+        # per-row-CPU-bound stage.  4x stays the default for the
+        # production shape: on a heterogeneous multi-executor cluster,
+        # several units per slot is what lets dynamic scheduling absorb
+        # per-composition cost variance and executor speed skew, and it
+        # bounds partition size at high composition counts; pass
+        # ``rebalance_partitions=slots`` for the measured single-wave
+        # fast path on uniform local hosts, or 'aqe' to repartition by
+        # key only with AQE choosing the width.
         keys = (F.col("doc_id"), F.col("offset"), F.col("seq"))
         if rebalance_partitions == "aqe":
             rebalanced = comps.repartition(*keys)
