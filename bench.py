@@ -45,8 +45,13 @@ import sys
 import time
 
 GATE = 0.94
-MIN_CLEAN = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_CLEAN", "3"))
-MAX_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "6"))
+# Budget note: under SUSTAINED interference nothing ever samples clean, so
+# every pass re-runs every query — min_clean=3 x 6 passes measured 2.5h on
+# such a day.  The defaults below bound a worst-case driver run to ~1h
+# while the validity block still reports exactly how clean the record is;
+# deep-sampled runs live in BENCH/r3_bench_local.json / r3_bench_focus.json.
+MIN_CLEAN = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_CLEAN", "2"))
+MAX_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "4"))
 TIME_RATIO = 2.0
 # sub-second queries vary > 2x from scheduling noise alone; the time-ratio
 # gate is for multi-second bursts, so short samples get an absolute grace
@@ -148,7 +153,7 @@ def _seed_spin_ceiling() -> None:
             time.sleep(1.0)
 
 
-def _wait_quiet(limit: float = 90.0) -> float:
+def _wait_quiet(limit: float = 40.0) -> float:
     """Block until a probe clears the gate (or the limit passes); returns
     the last pre-run probe ratio — recorded with the sample either way."""
     _seed_spin_ceiling()
@@ -316,7 +321,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         ),
     ]
     skew_timings, skew_samples, skew_validity = _measure_interleaved(
-        skew_thunks, min_clean=2, max_passes=5
+        skew_thunks, min_clean=2, max_passes=3
     )
 
     extract_sec = timings["extract_fused"]
