@@ -358,3 +358,156 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert set(batch) == set(op)
     for k, v in batch.items():
         assert op[k] == v, f"session_window disagrees with sessionize: {k}"
+
+
+def _write_event_files(src, batches, t0=1_700_000_000):
+    """Each entry in ``batches`` is a list of (event_id, ts_str, user_id,
+    value) rows -> one parquet file = one micro-batch (mtime-ordered)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src.mkdir(exist_ok=True)
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [r[3] for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+        f = str(src / f"part-{i:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), f, coerce_timestamps="us"
+        )
+        os.utime(f, (t0 + i, t0 + i))
+
+
+def _run_sessionize_stream(spark, src, tmp_path, name):
+    from pgstosrt_spark.streaming.sessions import sessionize_stream
+    from pgstosrt_spark.streaming.windowed import read_events_stream
+
+    q = (
+        sessionize_stream(read_events_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+
+def test_streaming_sessionize_timeout_then_return(spark, tmp_path):
+    """ADVICE r3 (high): a session closed by event-time TIMEOUT (not by a
+    successor event) must leave a tombstone carrying the per-user closed
+    counter, so the user's next session continues the 1-based ordinal —
+    state.remove() restarted it at 1, colliding (user_id, session_id) keys
+    in the append sink."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "tomb_src"
+    # user 1's sessions close by timeout only (its later events are always
+    # in LATER micro-batches than the watermark advance that expires them);
+    # user 2 is the watermark pusher.
+    _write_event_files(
+        src,
+        [
+            [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 10:05:00", 1, 2.0),
+             (3, "2024-01-01 10:00:00", 2, 1.0)],
+            [(4, "2024-01-01 13:00:00", 2, 1.0)],   # wm -> 12:00 > 10:35
+            [(5, "2024-01-01 13:30:00", 1, 3.0)],   # user 1 returns
+            [(6, "2024-01-01 16:00:00", 2, 1.0)],   # wm -> 15:00 > 14:00
+            [(7, "2024-01-01 19:00:00", 2, 1.0)],   # trailing pushes: the
+            [(8, "2024-01-01 22:00:00", 2, 1.0)],   # watermark lags a batch
+        ],
+    )
+    got = _run_sessionize_stream(spark, src, tmp_path, "sess_tomb")
+    import pandas as pd
+
+    assert (1, 1) in got and (1, 2) in got, f"ordinal restarted: {sorted(got)}"
+    assert got[(1, 1)] == (
+        pd.Timestamp("2024-01-01 10:00:00"), pd.Timestamp("2024-01-01 10:05:00"), 2, 3.0
+    )
+    assert got[(1, 2)] == (
+        pd.Timestamp("2024-01-01 13:30:00"), pd.Timestamp("2024-01-01 13:30:00"), 1, 3.0
+    )
+
+
+def test_streaming_sessionize_out_of_order_within_gap(spark, tmp_path):
+    """ADVICE r3 (medium): a within-watermark out-of-order event folding
+    into an open session must widen it (start=min, end=max) — the old
+    unconditional ``end = t`` moved session_end backwards, mis-timing the
+    timeout and splitting spuriously."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "ooo_src"
+    _write_event_files(
+        src,
+        [
+            [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 10:20:00", 1, 1.0)],
+            # batch 2: out-of-order but within watermark (wm = 09:20) and
+            # within gap of the open session — one before start, one inside
+            [(3, "2024-01-01 10:10:00", 1, 1.0), (4, "2024-01-01 09:50:00", 1, 1.0)],
+            [(5, "2024-01-01 14:00:00", 2, 1.0)],   # wm -> 13:00 > 10:50
+            [(6, "2024-01-01 17:00:00", 2, 1.0)],
+            [(7, "2024-01-01 20:00:00", 2, 1.0)],
+        ],
+    )
+    got = _run_sessionize_stream(spark, src, tmp_path, "sess_ooo")
+    import pandas as pd
+
+    u1 = {k: v for k, v in got.items() if k[0] == 1}
+    assert set(u1) == {(1, 1)}, f"spurious split: {sorted(u1)}"
+    assert u1[(1, 1)] == (
+        pd.Timestamp("2024-01-01 09:50:00"), pd.Timestamp("2024-01-01 10:20:00"), 4, 4.0
+    )
+
+
+def test_streaming_sessionize_hot_key(spark, tmp_path):
+    """Hot-key bound (VERDICT r3 item 8): one user with 10^5 events in a
+    single micro-batch folds through the slim (ts, value) numpy path —
+    correct session bounds, exact decimal sum, and NaN/inf values
+    contribute 0 micros (the batch CAST-to-NULL rule) instead of killing
+    the query."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "hot_src"
+    n = 100_000
+    base = 1_704_103_200  # 2024-01-01 10:00:00 UTC
+    import pandas as pd
+
+    rows = [
+        (
+            i,
+            pd.Timestamp(base + i, unit="s").strftime("%Y-%m-%d %H:%M:%S"),
+            1,
+            # every 1000th value non-finite: must fold as 0 micros
+            float("nan") if i % 2000 == 0 else (float("inf") if i % 2000 == 1000 else 0.25),
+        )
+        for i in range(n)
+    ]
+    push = base + n + 100_000
+    _write_event_files(
+        src,
+        [
+            rows,
+            [(n + 1, pd.Timestamp(push, unit="s").strftime("%Y-%m-%d %H:%M:%S"), 2, 1.0)],
+            [(n + 2, pd.Timestamp(push + 10_000, unit="s").strftime("%Y-%m-%d %H:%M:%S"), 2, 1.0)],
+            [(n + 3, pd.Timestamp(push + 20_000, unit="s").strftime("%Y-%m-%d %H:%M:%S"), 2, 1.0)],
+        ],
+    )
+    got = _run_sessionize_stream(spark, src, tmp_path, "sess_hot")
+    u1 = {k: v for k, v in got.items() if k[0] == 1}
+    assert set(u1) == {(1, 1)}
+    start, end, n_events, total = u1[(1, 1)]
+    assert n_events == n
+    assert start == pd.Timestamp(base, unit="s") and end == pd.Timestamp(base + n - 1, unit="s")
+    assert total == 0.25 * (n - n // 1000)  # 100 non-finite of 100k
