@@ -11,7 +11,9 @@ Two physical strategies (pipeline.py picks):
                 shuffle; right when payload sizes are uniform.
   * two-phase — kernel A does the cheap, inherently-sequential byte walk
                 (parse+assemble+merge) and emits per-composition rows;
-                after a round-robin rebalance, kernel B does the expensive
+                after a hash rebalance on (doc_id, offset, seq) — NOT
+                round-robin, which would local-sort the pickled binaries
+                (pipeline.py two_phase) — kernel B does the expensive
                 decode+OCR per composition.  Right for skew: one monster
                 payload fans out to many tasks (SURVEY.md §4.3.1).
 
