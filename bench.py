@@ -2,9 +2,17 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE compact
+JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-sample probe arrays and the full validity/skew payload go to a sidecar
+file (default BENCH/r4_bench_detail.json, override
+$SPARK_GRAFT_BENCH_DETAIL) referenced by the line's "detail_file" — the
+driver captures a bounded stdout tail, so the printed line must stay small
+(r3's samples-embedded line got truncated mid-JSON and the round lost its
+driver-recorded headline).
 
 ``value`` = wall seconds of the flagship extraction query (the BASELINE.md
 headline); per-query seconds in ``queries``; extraction throughput in
@@ -56,6 +64,13 @@ TIME_RATIO = 2.0
 # sub-second queries vary > 2x from scheduling noise alone; the time-ratio
 # gate is for multi-second bursts, so short samples get an absolute grace
 TIME_GRACE = 1.0
+# adaptive early-exit (VERDICT r3 item 7): a query stops sampling once its
+# clean samples are BOTH numerous enough and mutually consistent (<10%
+# spread) — quiet windows buy depth where the record is still noisy
+# instead of even passes everywhere.  Headline queries (DEEP) target one
+# extra clean sample and get extra passes to reach it.
+SETTLE_SPREAD = 0.10
+DEEP_EXTRA_PASSES = 2
 
 
 def _build_corpus_cache(spark, sf_dir: str, cache_dir: str) -> str:
@@ -183,17 +198,39 @@ def _clean_samples(samples: list[dict]) -> list[dict]:
     ]
 
 
+def _settled(ss: list[dict], target: int) -> bool:
+    """A query is done sampling when it has >= target clean samples whose
+    spread is < SETTLE_SPREAD (mutually-confirming measurements)."""
+    clean = _clean_samples(ss)
+    if len(clean) < target:
+        return False
+    secs = [s["sec"] for s in clean]
+    return (max(secs) - min(secs)) / min(secs) < SETTLE_SPREAD
+
+
 def _measure_interleaved(
-    thunks: list[tuple[str, object]], min_clean: int = MIN_CLEAN, max_passes: int = MAX_PASSES
+    thunks: list[tuple[str, object]],
+    min_clean: int = MIN_CLEAN,
+    max_passes: int = MAX_PASSES,
+    deep: frozenset[str] = frozenset(),
 ) -> tuple[dict, dict, dict]:
     """Round-robin probe-gated sampling -> (best_clean_sec, samples,
-    validity)."""
+    validity).  ``deep`` queries target min_clean+1 clean samples and get
+    DEEP_EXTRA_PASSES bonus passes — the headline record should rest on
+    >= 3 mutually-confirming clean measurements on a normal day."""
     samples: dict[str, list[dict]] = {name: [] for name, _ in thunks}
-    for pass_no in range(max_passes):
+
+    def _target(name: str) -> int:
+        return min_clean + 1 if name in deep else min_clean
+
+    def _cap(name: str) -> int:
+        return max_passes + DEEP_EXTRA_PASSES if name in deep else max_passes
+
+    for pass_no in range(max_passes + (DEEP_EXTRA_PASSES if deep else 0)):
         pending = [
             (name, thunk)
             for name, thunk in thunks
-            if len(_clean_samples(samples[name])) < min_clean
+            if pass_no < _cap(name) and not _settled(samples[name], _target(name))
         ]
         if not pending:
             break
@@ -230,8 +267,15 @@ def _measure_interleaved(
         "gate": GATE,
         "time_ratio": TIME_RATIO,
         "min_clean": min_clean,
+        "settle_spread": SETTLE_SPREAD,
         "rejected": rejected,
         "under_sampled": sorted(degraded),
+        # settled = reached its clean-count target with <10% spread; an
+        # unsettled-but-not-under_sampled query met min_clean but its clean
+        # samples still disagree (record = best clean, flagged here)
+        "unsettled": sorted(
+            name for name, ss in samples.items() if not _settled(ss, _target(name))
+        ),
         "all_clean": not degraded,
     }
     return timings, samples, validity
@@ -290,7 +334,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "global_topk",
         )
     ]
-    timings, samples, validity = _measure_interleaved(thunks)
+    timings, samples, validity = _measure_interleaved(
+        thunks, deep=frozenset({"extract_fused", "extract_two_phase"})
+    )
 
     # ---- skew section: the two-phase escape hatch must WIN here --------
     slots = spark.sparkContext.defaultParallelism
@@ -356,7 +402,45 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     result = run_bench(sf_dir, cpus)
-    print(json.dumps(result))
+
+    # VERDICT r3 item 1: the driver captures a BOUNDED stdout tail, and a
+    # final line embedding every per-sample array outgrew it (BENCH_r03
+    # recorded parsed:null).  Full samples/validity/skew detail goes to a
+    # sidecar file; the single printed line stays compact (~2 KB).
+    detail_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "r4_bench_detail.json"
+        ),
+    )
+    os.makedirs(os.path.dirname(detail_file), exist_ok=True)
+    with open(detail_file, "w") as f:
+        json.dump(result, f, indent=1)
+
+    skew = result["skew"]
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "docs": result["docs"],
+        "docs_per_sec": result["docs_per_sec"],
+        "cpus": result["cpus"],
+        "validity": {
+            "all_clean": result["validity"]["all_clean"],
+            "under_sampled": result["validity"]["under_sampled"],
+            "unsettled": result["validity"]["unsettled"],
+        },
+        "skew": {
+            "docs": skew["docs"],
+            "queries": skew["queries"],
+            "two_phase_default_width": skew["two_phase_default_width"],
+            "all_clean": skew["validity"]["all_clean"],
+        },
+        "detail_file": detail_file,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
