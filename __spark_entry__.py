@@ -95,6 +95,56 @@ def _q_srt_render(spark, sf_dir):
     return render_srt_documents(docs)
 
 
+def _q_srt_format(spark, sf_dir):
+    """O5's text surface, triple-green (VERDICT r3 item 4): deterministic
+    cue rows derived from the driver documents by pure JVM expressions run
+    through the SAME SubRip-render expression as the binary pipeline
+    (pipeline.render_srt_cues) — the DuckDB twin is printf + string_agg.
+    The binary-kernel half of O5 stays in ``srt_render`` (rows-only, bytes
+    pinned vs the pure-Python renderer in tests/)."""
+    from pgstosrt_spark.pipeline import render_srt_cues
+
+    d = F.col("doc_id").cast("long")
+    base = _documents(_utc(spark), sf_dir).select(F.col("doc_id"), d.alias("d"))
+    cues = (
+        base.select(
+            "doc_id",
+            "d",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("d") % 4)).alias("seq"),
+        )
+        .withColumn("start_ms", (F.col("d") % 1000) * 137 + F.col("seq") * 1500)
+        .withColumn("end_ms", F.col("start_ms") + 1200)
+    )
+
+    def tc(ms):
+        return F.format_string(
+            "%02d:%02d:%02d,%03d",
+            F.floor(ms / 3_600_000),
+            F.floor((ms % 3_600_000) / 60_000),
+            F.floor((ms % 60_000) / 1_000),
+            ms % 1_000,
+        )
+
+    cue_rows = cues.select(
+        "doc_id",
+        F.concat(F.lit("pgs://"), F.col("doc_id").cast("string"), F.lit("/0")).alias(
+            "media_ref"
+        ),
+        F.lit(1).alias("offset"),
+        F.col("seq").cast("int").alias("seq"),
+        F.concat(
+            tc(F.col("start_ms")),
+            F.lit(" --> "),
+            tc(F.col("end_ms")),
+            F.lit("\nCUE "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("seq").cast("string"),
+        ).alias("text"),
+    )
+    return render_srt_cues(cue_rows)
+
+
 def _q_track_fanout(spark, sf_dir):
     """S4 language fan-out over a deterministic track table derived from
     the driver documents (container demux is upstream ingestion): output
@@ -133,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_two_phase": _q_extract_two_phase,
         "extract_metrics": _q_extract_metrics,
         "srt_render": _q_srt_render,
+        "srt_format": _q_srt_format,
         "track_fanout": _q_track_fanout,
         # relational skeleton (SURVEY.md §2.6) — DuckDB-verified
         "pricing_summary": lambda s, sf: rel.pricing_summary(_utc(s), sf),
@@ -333,6 +384,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "srt_format": """
+            WITH d AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS d FROM documents),
+            c AS (SELECT doc_id, d, unnest(range(0, (d % 4) + 1)) AS seq FROM d),
+            t AS (SELECT doc_id, seq,
+                         (d % 1000) * 137 + seq * 1500 AS start_ms,
+                         (d % 1000) * 137 + seq * 1500 + 1200 AS end_ms
+                  FROM c),
+            f AS (SELECT doc_id, seq,
+                         printf('%02d:%02d:%02d,%03d', start_ms // 3600000,
+                                (start_ms % 3600000) // 60000,
+                                (start_ms % 60000) // 1000, start_ms % 1000)
+                         || ' --> ' ||
+                         printf('%02d:%02d:%02d,%03d', end_ms // 3600000,
+                                (end_ms % 3600000) // 60000,
+                                (end_ms % 60000) // 1000, end_ms % 1000) AS tcline,
+                         'CUE ' || doc_id || ' ' || CAST(seq AS VARCHAR) AS body
+                  FROM t),
+            b AS (SELECT doc_id, seq,
+                         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY seq)
+                              AS VARCHAR)
+                         || e'\r\n' || tcline || e'\r\n' || body || e'\r\n' AS block
+                  FROM f)
+            SELECT doc_id,
+                   'pgs://' || doc_id || '/0' AS media_ref,
+                   string_agg(block, e'\r\n' ORDER BY seq) || e'\r\n' AS srt
+            FROM b GROUP BY doc_id
         """,
         "track_fanout": """
             WITH t AS (

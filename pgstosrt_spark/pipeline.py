@@ -44,6 +44,7 @@ __all__ = [
     "assemble_spans",
     "extract",
     "split_side_channel",
+    "render_srt_cues",
     "render_srt_documents",
 ]
 
@@ -245,17 +246,17 @@ def assemble_spans(documents: DataFrame, cue_rows: DataFrame) -> DataFrame:
     )
 
 
-def render_srt_documents(documents: DataFrame, **kw) -> DataFrame:
-    """The SRT sink (SURVEY.md §2.5 O5, PgsOcr.cs:59-63): one numbered
+def render_srt_cues(cues: DataFrame) -> DataFrame:
+    """Cue rows (doc_id, media_ref, offset, seq, text) -> one numbered
     SubRip document per (doc_id, media_ref), rendered entirely JVM-side.
 
-    Cue spans already carry ``"{start} --> {end}\\n{ocr_text}"``; SubRip
-    blocks are ``"{n}\\r\\n{timecodes}\\r\\n{text}\\r\\n"`` joined with
-    CRLF and a trailing CRLF — byte-identical to pgs.srt.render_srt (the
-    pure-Python oracle pins this in tests/).  One narrow expression over the
-    extracted cue rows: no extra kernel, one groupBy shuffle.
+    Cue text carries ``"{start} --> {end}\\n{ocr_text}"``; SubRip blocks
+    are ``"{n}\\r\\n{timecodes}\\r\\n{text}\\r\\n"`` joined with CRLF and
+    a trailing CRLF — byte-identical to pgs.srt.render_srt (the
+    pure-Python oracle pins this in tests/; the DuckDB twin of the driver
+    ``srt_format`` query pins it cross-engine).  One narrow expression:
+    no kernel, one groupBy shuffle of small strings.
     """
-    cues, _side = split_side_channel(extract_cue_rows(documents, **kw))
     grouped = cues.groupBy("doc_id", "media_ref").agg(
         F.sort_array(F.collect_list(F.struct("offset", "seq", "text"))).alias("cs")
     )
@@ -274,6 +275,13 @@ def render_srt_documents(documents: DataFrame, **kw) -> DataFrame:
             F.array_join(F.transform("cs", block), "\r\n"), F.lit("\r\n")
         ).alias("srt"),
     )
+
+
+def render_srt_documents(documents: DataFrame, **kw) -> DataFrame:
+    """The SRT sink (SURVEY.md §2.5 O5, PgsOcr.cs:59-63): extraction +
+    :func:`render_srt_cues` over the resulting cue rows."""
+    cues, _side = split_side_channel(extract_cue_rows(documents, **kw))
+    return render_srt_cues(cues)
 
 
 def extract(
