@@ -417,3 +417,22 @@ def test_image_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         next(image_decode_kernel(iter([])))
+
+
+def test_rp_planes_cached_per_worker():
+    """VERDICT r3 item 5: the hyperplane matrix is built once per
+    (dim, bands, rows) per Python worker and reused across Arrow batches —
+    repeated calls return the SAME array object, deterministically equal to
+    a fresh derivation, and distinct keys get distinct planes."""
+    import numpy as np
+
+    from pgstosrt_spark.functions.similarity import _RP_W_CACHE, _rp_planes
+
+    _RP_W_CACHE.clear()
+    a = _rp_planes(64, 16, 8)
+    assert _rp_planes(64, 16, 8) is a  # cache hit, not a rebuild
+    want = np.stack(
+        [np.random.default_rng(1_000_003 + p).uniform(-1.0, 1.0, 64) for p in range(128)]
+    )
+    assert np.array_equal(a, want)  # deterministic: both join sides agree
+    assert _rp_planes(32, 16, 8) is not a and len(_RP_W_CACHE) == 2
