@@ -201,6 +201,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": lambda s, sf: rel.set_intersect(_utc(s), sf),
         "set_except": lambda s, sf: rel.set_except(_utc(s), sf),
         "global_topk": lambda s, sf: rel.global_topk(_utc(s), sf),
+        "asof_join_last_view": lambda s, sf: rel.asof_join_last_view(_utc(s), sf),
+        "range_band_join": lambda s, sf: rel.range_band_join(_utc(s), sf),
+        "pivot_status": lambda s, sf: rel.pivot_status(_utc(s), sf),
+        "cube_revenue": lambda s, sf: rel.cube_revenue(_utc(s), sf),
+        "ntile_quartiles": lambda s, sf: rel.ntile_quartiles(_utc(s), sf),
+        "above_avg_filter": lambda s, sf: rel.above_avg_filter(_utc(s), sf),
+        "argmax_single_pass": lambda s, sf: rel.argmax_single_pass(_utc(s), sf),
+        "time_bucket_revenue": lambda s, sf: rel.time_bucket_revenue(_utc(s), sf),
+        "hash_sample": lambda s, sf: rel.hash_sample(_utc(s), sf),
         # text analysis — DuckDB-verified
         "token_count": docs_q(tx.token_count),
         "quality_score": docs_q(tx.quality_score),
@@ -384,6 +393,82 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "asof_join_last_view": """
+            WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                       FROM events WHERE event_type = 'click'),
+            v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                  FROM events WHERE event_type = 'view'),
+            j AS (SELECT c.user_id, c.click_id, c.click_ts, v.view_ts, v.view_id,
+                         row_number() OVER (PARTITION BY c.click_id
+                                            ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+                  FROM c LEFT JOIN v
+                    ON v.user_id = c.user_id AND v.view_ts <= c.click_ts)
+            SELECT user_id, click_id, click_ts, view_ts, view_id
+            FROM j WHERE rn = 1
+        """,
+        "range_band_join": """
+            WITH bands AS (
+                SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+                FROM (SELECT unnest(range(0, 8)) AS i)
+            )
+            SELECT CAST(band_id AS INTEGER) AS band_id, lo, hi,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band_id, lo, hi
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "cube_revenue": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL THEN 3
+                        WHEN l_returnflag IS NULL THEN 2
+                        WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid,
+                   CAST(sum({disc_price}) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "ntile_quartiles": """
+            SELECT o_orderpriority, o_orderkey,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        """,
+        "above_avg_filter": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+            FROM orders
+            WHERE o_totalprice >
+                  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*) FROM orders)
+        """,
+        "argmax_single_pass": """
+            SELECT o_custkey, o_orderkey AS best_order,
+                   round(o_totalprice, 2) AS best_total
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                               ORDER BY o_totalprice DESC,
+                                                        o_orderkey DESC) AS rn
+                  FROM orders)
+            WHERE rn = 1
+        """,
+        "time_bucket_revenue": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang, n_chars,
+                   md5(CAST(doc_id AS VARCHAR)) AS sample_key
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
         """,
         "srt_format": """
             WITH d AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS d FROM documents),

@@ -441,11 +441,22 @@ def embedding_near_dup(
     max_cell: int = 4096,
     rp_bands: int = 4,
     rp_rows: int = 4,
+    refine: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), IVF-bucketed with
     a hot-cell cap.
+
+    ``refine=0`` (no Lloyd pass) is the default here, unlike
+    :func:`ivf_topk`: blocking only needs a *consistent deterministic*
+    assignment — any near-identical pair lands in the same cell under any
+    fixed centroid table, and cell imbalance is already bounded by the
+    ``max_cell`` RP sub-bucketing, so the refinement's balance gain buys
+    no recall while costing three shuffles + a UDF stage per iteration
+    (measured r4, sf0.1 local[32]: refine=1 ~9.0s vs refine=0 ~the
+    un-refined r2 shape; ivf_topk keeps refine=1 because there the
+    centroid QUALITY decides probe recall).
 
     Pairs are compared all-pairs within a centroid cell (the standard
     blocking trick — exact within the cell).  A cell larger than
@@ -462,7 +473,7 @@ def embedding_near_dup(
     # the assignment feeds the cell-size count AND both pair-join sides:
     # persist it (one computation, plan-asserted in tests/test_plans.py)
     assigned, _ = ivf_assign(
-        vectors, n_centroids, id_col, vec_col, persist_assignment=True
+        vectors, n_centroids, id_col, vec_col, refine=refine, persist_assignment=True
     )
     sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("cell_n"))
     tagged = assigned.join(F.broadcast(sizes), "centroid_id").withColumn(

@@ -234,6 +234,198 @@ def global_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     )
 
 
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks natively): for every click,
+    the most recent view by the same user at or before the click ts.
+
+    Implemented as union-tag + running ``last(ignorenulls)`` over one
+    (user_id)-partitioned sort — ONE shuffle, no range-condition join.  The
+    naive inequality join explodes to O(clicks x views) per user and plans
+    as a nested-loop; this shape is O(n log n) per user partition and
+    scales with AQE skew splitting.  Tie rules (pinned by the oracle): a
+    view at exactly the click ts counts; among equal-ts views the highest
+    event_id wins (sort key ts, is_click, event_id puts views first)."""
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lastv = F.last(
+        F.when(F.col("is_click") == 0, F.struct("ts", "event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        tagged.withColumn("lastv", lastv)
+        .filter(F.col("is_click") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("lastv.ts").alias("view_ts"),
+            F.col("lastv.event_id").alias("view_id"),
+        )
+    )
+
+
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a small in-memory band table: each
+    event lands in the [lo, hi) bucket containing its value.  The band
+    side is broadcast, so the inequality join is a BroadcastNestedLoop
+    over 8 rows per event — never a shuffle, never a cartesian between two
+    big sides.  At 100 TB the fact side streams through map tasks
+    unchanged; only the 8-row dim ships."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(i, float(i * 50), float((i + 1) * 50)) for i in range(8)],
+        "band_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    j = ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+    )
+    return j.groupBy("band_id", "lo", "hi").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority spread across status columns.
+    Explicit pivot values keep the plan a single groupBy (no extra pass to
+    discover the domain), which is the only pivot shape that scales —
+    domain discovery is a full extra aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count("*"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all four grouping sets of (returnflag,
+    linestatus) in one shuffle with map-side partial agg (the grouping-set
+    expansion happens before the exchange, so levels don't multiply
+    passes).  gid disambiguates subtotal NULLs exactly as in
+    :func:`rollup_revenue`."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "revenue", "n_items")
+    )
+
+
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank ranking windows, partitioned by priority so no
+    global single-partition sort exists in the plan (a global ntile is a
+    scale-killer; per-key ranking distributes)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% document sample via md5 prefix — the
+    training-pipeline sampling primitive.  Unlike ``df.sample`` (seeded
+    per-partition, changes under repartition), a content hash is stable
+    across engines, runs, and partitionings — the property an auditable
+    100 TB data pipeline needs for held-out splits.  md5 prefix '19' means
+    P(keep) = 0x1A/0x100 ~ 10.2%; compare lexicographically so the oracle
+    (DuckDB md5 of the same UTF-8 bytes) matches byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return d.filter(F.substring(fp, 1, 2) <= "19").select(
+        "doc_id", "lang", "n_chars", fp.alias("sample_key")
+    )
+
+
+def above_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the global average price.  The
+    1-row aggregate is broadcast (crossJoin of a singleton), so the fact
+    scan streams once; the average goes through an exact decimal sum so
+    both engines derive bit-identical doubles before the one IEEE
+    division."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_tp")
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > F.col("avg_tp"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+def argmax_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax via struct-max — a single hash aggregate with
+    map-side combine, NO ranking window.  At scale this beats
+    row_number()-then-filter (topk_per_group's shape) because nothing is
+    sorted: the struct compares (price, orderkey) lexicographically, so
+    ties break to the highest orderkey, pinned by the oracle's
+    row_number DESC twin."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.max(
+        F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    ).alias("m")
+    return (
+        o.groupBy("o_custkey")
+        .agg(m)
+        .select(
+            "o_custkey",
+            F.col("m.k").alias("best_order"),
+            F.round("m.p", 2).alias("best_total"),
+        )
+    )
+
+
+def time_bucket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup (hypertable-style continuous aggregate):
+    monthly order revenue.  date_format is a pure projection, so the plan
+    is scan -> partial agg -> one exchange on ~80 month keys; at 100 TB
+    you'd additionally partition the table by the same bucket so the scan
+    prunes."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (run-length session grouping §2.6):
     lag(ts) -> gap>threshold -> cumsum session id -> per-session agg."""

@@ -187,3 +187,42 @@ def test_extraction_plan_single_pass_no_payload_shuffle(spark):
     plan_auto = _plan(extract(docs.coalesce(1), balance="auto"), mode="simple")
     kernel_pos = plan_auto.find("MapInPandas")
     assert "Exchange" in plan_auto[kernel_pos:], "auto-balance should engage"
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """asof_join_last_view is union-tag + one windowed pass — the plan must
+    contain NO join operator at all and exactly one hashpartitioning
+    exchange (on user_id); an inequality-join formulation would plan a
+    BroadcastNestedLoop/SortMerge with a range condition and explode at
+    scale."""
+    plan = _plan(rel.asof_join_last_view(spark, SF_DIR), mode="simple")
+    assert "Join" not in plan, plan
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(shuffles) == 1, plan
+
+
+def test_range_band_join_broadcasts_band_side(spark):
+    """The 8-row band dim must ship broadcast (nested-loop over a tiny
+    side), never a shuffle of the event side for the inequality join."""
+    plan = _plan(rel.range_band_join(spark, SF_DIR), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_argmax_single_pass_has_no_window(spark):
+    """argmax via struct-max must stay a hash aggregate with a map-side
+    partial pass — the whole point of the operator is avoiding the ranking
+    window's per-group sort."""
+    plan = _plan(rel.argmax_single_pass(spark, SF_DIR), mode="simple")
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_above_avg_scalar_is_broadcast(spark):
+    """The 1-row aggregate must reach the fact side as a broadcast, so the
+    orders scan streams exactly once per side without a shuffle exchange
+    for the comparison."""
+    plan = _plan(rel.above_avg_filter(spark, SF_DIR), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan
