@@ -32,9 +32,13 @@ best speed seen), and a sample only counts as CLEAN when
     sub-second queries from masquerading as bursts).
 Queries are sampled in interleaved round-robin passes (bursts decorrelate
 from any single query); passes continue until every query has >= MIN_CLEAN
-clean samples or the pass cap is hit.  The JSON carries every sample with
-its probe ratios plus a "validity" block naming rejected samples, so the
-recorded number is auditable, not just asserted.
+clean samples or the pass cap is hit.  The recorded time is the MIN over
+ALL samples — interference is additive (a burst can only inflate a wall
+time), so the fastest observation is the tightest upper bound on the true
+runtime regardless of its probe status; cleanliness feeds only the
+validity labels.  The JSON carries every sample with its probe ratios plus
+a "validity" block naming rejected samples, so the recorded number is
+auditable, not just asserted.
 
 A "skew" section times fused vs two_phase vs size_bucketed (and two-phase
 rebalance widths) on the north_rule's skew shapes — one doc with 10^3
@@ -256,12 +260,16 @@ def _measure_interleaved(
         rej = [s for s in ss if s not in clean]
         if rej:
             rejected[name] = rej
-        if clean:
-            timings[name] = min(s["sec"] for s in clean)
-            if len(clean) < min_clean:
-                degraded.append(name)
-        else:  # no clean window at all: record best raw, flagged
-            timings[name] = min(s["sec"] for s in ss)
+        # Interference is ADDITIVE — a co-tenant burst can only inflate a
+        # wall time, never deflate it — so the min over ALL samples is the
+        # tightest upper bound on the true runtime.  Probe-clean status
+        # feeds the validity labels (under_sampled/unsettled), not the
+        # record: picking min-over-clean instead once reported a 24.4s
+        # probe-clean sample as the record while a 14.3s sample (fast run,
+        # burst landed after the work, dirtying only the post-probe) sat
+        # rejected in the same array.
+        timings[name] = min(s["sec"] for s in ss)
+        if len(clean) < min_clean:
             degraded.append(name)
     validity = {
         "gate": GATE,
@@ -373,8 +381,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extract_sec = timings["extract_fused"]
     result = {
         "metric": "extraction wall-clock (fused pipeline, interleaved corpus "
-        "replicated into the work-dominated regime; per-sample pre/post "
-        "spin-probe gating, best clean of >= {} interleaved samples)".format(MIN_CLEAN),
+        "replicated into the work-dominated regime; min over all interleaved "
+        "samples — interference is additive; validity from per-sample "
+        "pre/post spin probes, >= {} clean)".format(MIN_CLEAN),
         "value": extract_sec,
         "unit": "sec",
         "queries": timings,

@@ -305,7 +305,7 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count("*"))
+        .agg(F.count(F.lit(1)))
     )
     return p.select(
         "o_orderpriority",
