@@ -454,9 +454,10 @@ def embedding_near_dup(
     fixed centroid table, and cell imbalance is already bounded by the
     ``max_cell`` RP sub-bucketing, so the refinement's balance gain buys
     no recall while costing three shuffles + a UDF stage per iteration
-    (measured r4, sf0.1 local[32]: refine=1 ~9.0s vs refine=0 ~the
-    un-refined r2 shape; ivf_topk keeps refine=1 because there the
-    centroid QUALITY decides probe recall).
+    (measured r4, sf0.1 local[32], best-of-5 probe-bracketed: refine=1
+    9.0s vs refine=0 3.5s — 2.6x; ivf_topk keeps refine=1 because there
+    the centroid QUALITY decides probe recall, a measured 1.99s-vs-2.9s
+    recall-for-time tradeoff documented on ivf_topk).
 
     Pairs are compared all-pairs within a centroid cell (the standard
     blocking trick — exact within the cell).  A cell larger than
