@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_single_pass": lambda s, sf: rel.argmax_single_pass(_utc(s), sf),
         "time_bucket_revenue": lambda s, sf: rel.time_bucket_revenue(_utc(s), sf),
         "hash_sample": lambda s, sf: rel.hash_sample(_utc(s), sf),
+        "stratified_sample": lambda s, sf: rel.stratified_sample(_utc(s), sf),
         # text analysis — DuckDB-verified
         "token_count": docs_q(tx.token_count),
         "quality_score": docs_q(tx.quality_score),
@@ -469,6 +470,13 @@ def oracle_sql() -> dict[str, str]:
                    md5(CAST(doc_id AS VARCHAR)) AS sample_key
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS strat_key
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2)
+                  <= CASE WHEN lang = 'en' THEN '3f' ELSE '7f' END
         """,
         "srt_format": """
             WITH d AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS d FROM documents),

@@ -274,7 +274,17 @@ def main() -> None:
         f"| {pair} | {effs[pair]} | {ceiling[pair]} | {wl_ceiling[pair]} | {round(effs[pair]/wl_ceiling[pair], 2)} |"
         for pair in effs
     )
-    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
+    # Preserve manually-curated sections (skew analyses, round records,
+    # validity criteria) across regenerations: everything at/after the
+    # marker survives a rewrite of the generated report above it.
+    path = os.path.join(repo, "BENCH", "BASELINE.md")
+    marker = "<!-- MANUAL SECTIONS (preserved across bench_scaling.py runs) -->"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            tail = old[old.index(marker):]
+    with open(path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling efficiency (N vs 4N proxy)
 
@@ -325,8 +335,10 @@ host with zero framework.
 generated {report['generated']}; identical deterministic input at every
 level, warm-up repeat excluded via best-of, noop sink so no collect/write
 skew.
+
 """
         )
+        f.write(tail if tail else marker + "\n")
     print(json.dumps(report))
 
 

@@ -366,6 +366,26 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling — downsample the dominant
+    language (en, ~25% keep) while keeping minority languages at double
+    the rate (~50%), the standard corpus-rebalancing move.  Keep decisions
+    hash the (doc_id, lang) pair, so they are stable across engines, runs
+    and partitionings (unlike ``df.sampleBy``, which seeds per partition);
+    the rate is a pure md5-prefix threshold, a narrow map with no shuffle
+    at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang")).cast(
+            "binary"
+        )
+    )
+    limit = F.when(F.col("lang") == "en", F.lit("3f")).otherwise(F.lit("7f"))
+    return d.filter(F.substring(fp, 1, 2) <= limit).select(
+        "doc_id", "lang", fp.alias("strat_key")
+    )
+
+
 def above_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery filter: orders above the global average price.  The
     1-row aggregate is broadcast (crossJoin of a singleton), so the fact

@@ -226,3 +226,27 @@ def test_above_avg_scalar_is_broadcast(spark):
     plan = _plan(rel.above_avg_filter(spark, SF_DIR), mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hash_sampling_stable_under_repartitioning(spark):
+    """The sampling ops' core claim: keep decisions are content-hashed, so
+    the selected id set is identical no matter how the input is
+    partitioned (df.sample/sampleBy seed per partition and break this)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fp = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.substring(fp, 1, 2) <= "19").select("doc_id").collect()
+    )
+    for n in (3, 17):
+        again = sorted(
+            r["doc_id"]
+            for r in docs.repartition(n)
+            .filter(F.substring(fp, 1, 2) <= "19")
+            .select("doc_id")
+            .collect()
+        )
+        assert again == base
+    assert len(base) > 0
