@@ -627,12 +627,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rnk, round(score_raw, 4) AS score
             FROM r WHERE rnk <= 10
         """,
+        # minhash_lsh_dups exact-verifies its LSH candidates, so its OUTPUT
+        # is hash-independent: pairs with exact 3-gram Jaccard >= 0.5.  The
+        # twin is the exact-Jaccard SQL at the same threshold; equality
+        # holds because the deterministic banding's recall is 1.0 on this
+        # corpus (checked at sf0.001 AND sf0.01 — same engines the driver
+        # runs), making the sketch path itself triple-green end to end.
+        "minhash_lsh_dups": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 3
+                              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                                i -> array_to_string(toks[i:i+2], ' ')))
+                              ELSE [] END AS sh
+                  FROM t),
+            e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+                         count(*) AS inter
+                  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+            FROM p WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5
+        """,
+        # embedding_near_dup's blocking catches exact duplicates with
+        # probability 1 (identical vectors share cell and sign bits) and
+        # the output cosine is exact, so the brute-force all-pairs twin is
+        # a true oracle on this corpus (no natural pair reaches 0.95;
+        # max natural cosine ~0.51 at sf0.01)
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                FROM embeddings WHERE vec_id < 10
+            ), p AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2]))
+                       / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.emb, x -> x * x)))) AS c
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, round(c, 4) AS cosine FROM p WHERE c >= 0.95
+        """,
         # omitted on purpose (rows-only driver check; pinned in tests/):
         #   extract_interleaved / extract_two_phase / extract_metrics /
         #   srt_render — PGS binary kernels + OCR, not SQL-expressible;
-        #   minhash_lsh_dups / simhash_fingerprint / simhash_dups —
-        #     xxhash64 has no DuckDB equivalent;
-        #   ann_ivf_topk / ann_lsh_topk / embedding_near_dup — centroid
-        #     argmax assignment / hyperplane sign-bit banding (verified in
+        #   simhash_fingerprint / simhash_dups — the xxhash64 fingerprint
+        #     IS the output; it has no DuckDB equivalent;
+        #   ann_ivf_topk / ann_lsh_topk — probe-limited top-k is not equal
+        #     to brute force by construction (verified in
         #     tests/test_functions.py for recall vs brute force).
     }

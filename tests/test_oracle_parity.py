@@ -75,12 +75,10 @@ def test_all_queries_have_oracle_or_are_documented():
         "extract_two_phase",
         "extract_metrics",
         "srt_render",
-        "minhash_lsh_dups",
         "simhash_fingerprint",
         "simhash_dups",
         "ann_ivf_topk",
         "ann_lsh_topk",
-        "embedding_near_dup",
     }
     assert rows_only == documented
 
