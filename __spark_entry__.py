@@ -164,6 +164,16 @@ def _q_track_fanout(spark, sf_dir):
     return tracks_by_language(tracks, "eng")
 
 
+def _q_interval_join(spark, sf_dir):
+    from pgstosrt_spark.streaming.joins import interval_join_view_attribution
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return interval_join_view_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+
+
 # ----------------------------------------------------------------- queries
 
 
@@ -211,6 +221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_revenue": lambda s, sf: rel.time_bucket_revenue(_utc(s), sf),
         "hash_sample": lambda s, sf: rel.hash_sample(_utc(s), sf),
         "stratified_sample": lambda s, sf: rel.stratified_sample(_utc(s), sf),
+        # batch twin of the stream-stream watermarked interval join
+        # (streaming/joins.py; watermarks are no-ops in batch, so the same
+        # function IS the batch operator — duality pinned by
+        # test_streaming_interval_join_matches_batch)
+        "interval_join_attribution": _q_interval_join,
         # text analysis — DuckDB-verified
         "token_count": docs_q(tx.token_count),
         "quality_score": docs_q(tx.quality_score),
@@ -394,6 +409,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "interval_join_attribution": """
+            SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+                   v.event_id AS view_id, v.ts AS view_ts
+            FROM events c JOIN events v
+              ON v.user_id = c.user_id
+             AND v.ts <= c.ts
+             AND v.ts >= c.ts - INTERVAL 30 MINUTES
+            WHERE c.event_type = 'click' AND v.event_type = 'view'
         """,
         "asof_join_last_view": """
             WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts

@@ -511,3 +511,65 @@ def test_streaming_sessionize_hot_key(spark, tmp_path):
     assert n_events == n
     assert start == pd.Timestamp(base, unit="s") and end == pd.Timestamp(base + n - 1, unit="s")
     assert total == 0.25 * (n - n // 1000)  # 100 non-finite of 100k
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join (streaming/joins.py):
+    replaying both event streams in order, every emitted (click, view)
+    attribution pair equals the batch twin's pair set — inner-join matches
+    are emitted exactly once under append mode, and the range condition
+    gives Spark a state watermark so neither side buffers history."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgstosrt_spark.streaming.joins import interval_join_view_attribution
+    from pgstosrt_spark.streaming.windowed import read_events_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    srcs = {}
+    t0 = 1_700_000_000
+    for kind in ("click", "view"):
+        d = tmp_path / f"{kind}_src"
+        d.mkdir()
+        pdf = (
+            ev.filter(F.col("event_type") == kind)
+            .orderBy("ts", "event_id")
+            .toPandas()
+        )
+        for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 6)):
+            f = str(d / f"part-{i:05d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[chunk], preserve_index=False),
+                f,
+                coerce_timestamps="us",
+            )
+            os.utime(f, (t0 + i, t0 + i))
+        srcs[kind] = str(d)
+
+    q = (
+        interval_join_view_attribution(
+            read_events_stream(spark, srcs["click"]),
+            read_events_stream(spark, srcs["view"]),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_pairs")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("select * from ij_pairs").collect()
+    }
+    batch = {
+        (r["click_id"], r["view_id"])
+        for r in interval_join_view_attribution(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "view"),
+        ).collect()
+    }
+    assert got, "stream-stream join emitted nothing"
+    assert got == batch
