@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # function IS the batch operator — duality pinned by
         # test_streaming_interval_join_matches_batch)
         "interval_join_attribution": _q_interval_join,
+        "gap_fill_forward": lambda s, sf: rel.gap_fill_forward(_utc(s), sf),
+        "moving_avg": lambda s, sf: rel.moving_avg(_utc(s), sf),
         # text analysis — DuckDB-verified
         "token_count": docs_q(tx.token_count),
         "quality_score": docs_q(tx.quality_score),
@@ -418,6 +420,22 @@ def oracle_sql() -> dict[str, str]:
              AND v.ts <= c.ts
              AND v.ts >= c.ts - INTERVAL 30 MINUTES
             WHERE c.event_type = 'click' AND v.event_type = 'view'
+        """,
+        "gap_fill_forward": """
+            SELECT user_id, event_id,
+                   round(last_value(CASE WHEN event_id % 7 <> 0 THEN value END
+                                    IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING), 6) AS filled_value
+            FROM events
+        """,
+        "moving_avg": """
+            SELECT user_id, event_id,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                         / count(*) OVER w, 6) AS avg_4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "asof_join_last_view": """
             WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts

@@ -366,6 +366,53 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF) over per-user event streams — the canonical
+    sensor/telemetry gap repair.  Nulls are planted deterministically
+    (event_id % 7 == 0) so both engines fill the same holes;
+    ``last(ignorenulls)`` over an unbounded-preceding row frame carries
+    the latest non-null value forward within the user partition — one
+    shuffle on user_id, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    holed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("v"),
+    )
+    return holed.select(
+        "user_id",
+        "event_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("filled_value"),
+    )
+
+
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row-frame aggregate: 4-event trailing average per user.
+    The frame sum goes through exact decimals and the single IEEE division
+    happens on identical operands in both engines, so the rounded result
+    hashes identically.  Frame windows distribute like any ranking window
+    — one shuffle on the partition key."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    s = F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+    n = F.count("*").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(s / n, 6).alias("avg_4"),
+    )
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling — downsample the dominant
     language (en, ~25% keep) while keeping minority languages at double
