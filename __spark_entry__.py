@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": docs_q(tx.quality_score),
         "lang_id": docs_q(tx.lang_id),
         "doc_fingerprint": docs_q(tx.fingerprint),
+        "repetition_ratio": docs_q(tx.repetition_ratio),
         # dedup — exact + jaccard DuckDB-verified; hash-sketch ops rows-only
         "exact_dedup": docs_q(dd.exact_dedup),
         "ngram_jaccard_dups": docs_q(lambda df: dd.ngram_jaccard_pairs(df, threshold=0.2)),
@@ -600,6 +601,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN round(len(list_filter(toks, x -> x IN {_STOP})) / greatest(len(toks), 1), 6) >= 0.02
                         THEN 'en' ELSE 'xx' END AS pred_lang
             FROM t
+        """,
+        "repetition_ratio": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            b AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 2
+                              THEN list_transform(range(1, len(toks)),
+                                                  i -> toks[i] || ' ' || toks[i+1])
+                              ELSE [] END AS bgs
+                  FROM t),
+            e AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+            c AS (SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY doc_id, bg),
+            agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                           round(max(cnt) / greatest(sum(cnt), 1), 6) AS top_bigram_frac
+                    FROM c GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(a.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM t LEFT JOIN agg a USING (doc_id)
         """,
         "doc_fingerprint": r"""
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

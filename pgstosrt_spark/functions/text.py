@@ -17,6 +17,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "repetition_ratio",
     "STOPWORDS",
 ]
 
@@ -97,3 +98,36 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     lowercase text (md5 agrees across Spark and DuckDB)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(col)), "\\s+", " "))
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def repetition_ratio(df: DataFrame, col: str = "text") -> DataFrame:
+    """doc_id, n_bigrams, top_bigram_frac — Gopher-style repetition signal.
+
+    top_bigram_frac = occurrences of the most frequent word bigram /
+    total bigrams; templated or looped text scores high and gets filtered.
+    Physical shape: two shifted slices zipped into NON-distinct bigrams
+    (count multiplicity is the signal, unlike the dedup shingles) ->
+    explode -> (doc, bigram) count -> per-doc max/sum — map-side partial
+    aggregation collapses each doc before both shuffles, and nothing is
+    ever wider than (doc_id, bigram, count).  Docs with < 2 tokens emit
+    frac 0.0 via explode_outer + coalesce.
+    """
+    toks = tokens_col(col)
+    n_big = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_big),
+        F.slice(toks, 2, n_big),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    per_bigram = (
+        df.select("doc_id", F.explode_outer(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.col("bg")).alias("cnt"))
+    )
+    return per_bigram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.round(
+            F.coalesce(F.max("cnt") / F.greatest(F.sum("cnt"), F.lit(1)), F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
