@@ -480,11 +480,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "ntile_quartiles": """
-            SELECT o_orderpriority, o_orderkey,
+            SELECT o_custkey, o_orderkey,
                    ntile(4) OVER w AS quartile,
                    round(percent_rank() OVER w, 6) AS pct_rank
             FROM orders
-            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         """,
         "above_avg_filter": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total

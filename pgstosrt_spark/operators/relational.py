@@ -338,13 +338,16 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile + percent_rank ranking windows, partitioned by priority so no
-    global single-partition sort exists in the plan (a global ntile is a
-    scale-killer; per-key ranking distributes)."""
+    """ntile + percent_rank ranking windows: each customer's orders ranked
+    into spend quartiles.  Partitioned by o_custkey — a HIGH-cardinality
+    key, so window partitions stay small and spread across every executor
+    (a global ntile, or one keyed by a 5-value column like order priority,
+    concentrates the sort into as many tasks as there are key values — a
+    scale-killer this operator exists to avoid)."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     return o.select(
-        "o_orderpriority",
+        "o_custkey",
         "o_orderkey",
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
