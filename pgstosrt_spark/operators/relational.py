@@ -298,9 +298,11 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per priority spread across status columns.
-    Explicit pivot values keep the plan a single groupBy (no extra pass to
-    discover the domain), which is the only pivot shape that scales —
-    domain discovery is a full extra aggregation."""
+    Explicit pivot values avoid the domain-DISCOVERY job (an eager extra
+    scan+distinct over the fact table before the plan even builds) — the
+    only pivot shape that scales.  The pivot itself plans as two
+    aggregates, but the second runs over |priorities| x |statuses| rows,
+    not the fact table."""
     o = _t(spark, sf_dir, "orders")
     p = (
         o.groupBy("o_orderpriority")
