@@ -240,6 +240,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -255,6 +256,23 @@ def minhash_lsh_pairs(
     so the second tokenization pass touches candidates only (at 10^12 docs
     re-shingling the whole corpus would double the cost of the operator).
     Output: doc_a, doc_b, jaccard.
+
+    ``max_bucket`` caps the hot-bucket blowup: a bucket of B near-identical
+    docs (template pages, boilerplate) makes the all-pairs candidate join
+    O(B^2) — at 10^12 docs a single million-doc template bucket is 10^12
+    candidate pairs on its own.  With ``max_bucket`` set, buckets larger
+    than it switch from all-pairs to a sorted-adjacency CHAIN (each doc
+    paired with its doc_id-successor inside the bucket): O(B) candidates
+    that preserve cluster CONNECTIVITY — after verification, transitive
+    closure (:func:`near_dup_clusters`) recovers the same duplicate
+    clusters whenever chained neighbors themselves verify (true for the
+    near-identical docs that create hot buckets in the first place).  The
+    pair LIST under chaining is a connectivity skeleton, not the
+    exhaustive >= threshold pair set — use it to feed cluster-level
+    dedup, and leave ``max_bucket=None`` (exact semantics, the DuckDB
+    oracle's definition) when the exhaustive pair list is the product.
+    Mirrors the ``max_cell`` hot-cell cap on
+    :func:`similarity.embedding_near_dup`.
     """
     if k is None:
         k, bands, rows = derive_lsh_params(threshold)
@@ -276,6 +294,23 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        sized = band_rows.withColumn("_bn", F.count("*").over(wb))
+        cold = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+        # hot buckets: one lead() pass over the doc_id-sorted bucket gives
+        # the adjacency chain — no self-join, O(bucket) candidates
+        hot_chain = (
+            sized.filter(F.col("_bn") > max_bucket)
+            .withColumn("_nxt", F.lead("doc_id").over(wb.orderBy("doc_id")))
+            .filter(F.col("_nxt").isNotNull())
+            .select(
+                F.col("doc_id").alias("doc_a"), F.col("_nxt").alias("doc_b")
+            )
+        )
+        band_rows = cold
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
@@ -285,8 +320,10 @@ def minhash_lsh_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if max_bucket is not None:
+        cand = cand.unionByName(hot_chain)
+    cand = cand.distinct()
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -424,14 +461,19 @@ def near_dup_clusters(
     keeper); docs in no pair are singletons (cluster_id = own id), so the
     output has exactly one row per input doc.
 
-    Iterative min-label propagation (the standard distributed CC loop):
-    each round every node takes the min of its own label and its
-    neighbours' labels — the component minimum spreads one hop per round,
-    so rounds needed = component diameter (tiny for dup clusters; capped
-    at ``max_iter``), with convergence detected by the global label sum
-    going stable (labels only ever decrease).  Each round is one
-    hash join + partial-aggregated groupBy; iteration state is persisted
-    and the previous round unpersisted, so lineage stays one round deep.
+    Iterative min-label propagation with POINTER DOUBLING: each round
+    every node takes the min of its own label, its neighbours' labels,
+    and its label's label (path compression) — so the component minimum
+    spreads exponentially and rounds needed are O(log diameter), not
+    diameter (a 59-long chain converges in 7 rounds, inside the default
+    ``max_iter``), with convergence detected by the global label sum
+    going stable (labels only ever decrease).  Each round is two hash
+    joins + a partial-aggregated groupBy.  Iteration state is
+    ``localCheckpoint``-ed each round — persist() alone does NOT truncate
+    the logical plan, and because each round references the previous
+    labels twice the un-truncated plan DOUBLES per round (measured: a
+    2 GB plan string / driver OOM by round 10 on a 60-doc chain) — the
+    classic iterative-lineage failure every distributed CC loop must cut.
 
     If the label sum has not stabilized after ``max_iter`` rounds (a
     component with diameter > max_iter — long duplicate chains), the
@@ -453,7 +495,7 @@ def near_dup_clusters(
         df.select(F.col(id_col).alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
@@ -463,7 +505,7 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        hop = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
                 "node",
@@ -471,10 +513,26 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+        )
+        # pointer doubling: follow the label one hop (label of label) so
+        # the minimum spreads 2^round hops, not 1 — O(log diameter) rounds
+        lab2 = labels.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            hop.join(lab2, hop.label == F.col("_ln"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+                ).alias("label"),
+            )
+            # truncate lineage: the loop references `labels` twice per
+            # round, so an un-checkpointed plan doubles in size each
+            # iteration (see docstring)
+            .localCheckpoint()
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:  # labels only decrease -> stable sum = done
             converged = True

@@ -436,3 +436,39 @@ def test_rp_planes_cached_per_worker():
     )
     assert np.array_equal(a, want)  # deterministic: both join sides agree
     assert _rp_planes(32, 16, 8) is not a and len(_RP_W_CACHE) == 2
+
+
+def test_lsh_hot_bucket_cap_chains_without_quadratic_blowup(spark):
+    """max_bucket: 60 near-identical docs normally produce C(60,2)=1770
+    verified pairs; with the cap their buckets chain to O(60) candidates
+    while cluster recovery (transitive closure over the verified skeleton)
+    still yields the SAME single 60-doc cluster — the hot-bucket analog of
+    embedding_near_dup's max_cell."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{i % 2}") for i in range(60)]
+    # two distractor docs that must not join the cluster
+    rows += [(100, "completely different text about spark shuffles and parquet files"),
+             (101, "another unrelated document mentioning catalyst and tungsten plans")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    exhaustive = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    capped = dd.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=10)
+    n_ex = exhaustive.count()
+    n_cap = capped.count()
+    assert n_ex >= 1770  # all-pairs within the near-identical block
+    # chain candidates: <= (bands x 59) distinct edges, far below all-pairs
+    assert n_cap < 300, n_cap
+
+    def clusters(pairs):
+        got = dd.near_dup_clusters(docs, pairs)
+        return {
+            r["cluster_id"]
+            for r in got.filter(F.col("doc_id") < 100).collect()
+        }
+
+    # both pair sets collapse the block into ONE cluster rooted at doc 0
+    assert clusters(exhaustive) == {0}
+    assert clusters(capped) == {0}
+    # distractors stay singletons under the cap
+    caps = dd.near_dup_clusters(docs, capped)
+    assert {r["cluster_id"] for r in caps.filter(F.col("doc_id") >= 100).collect()} == {100, 101}
