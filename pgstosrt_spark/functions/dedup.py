@@ -389,7 +389,11 @@ def simhash(df: DataFrame, bits: int = 64, col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 3, bits: int = 64, col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -402,6 +406,13 @@ def simhash_pairs(
     run inside the candidate join at 5k docs and cannot survive large
     corpora).  Candidates verified exactly with bit_count.
     Output: doc_a, doc_b, hamming.
+
+    ``max_bucket`` mirrors :func:`minhash_lsh_pairs`: a band bucket of B
+    identical-fingerprint docs makes the candidate join O(B^2); above the
+    cap a bucket switches to a doc_id-sorted adjacency chain — O(B)
+    candidates preserving cluster connectivity (identical fingerprints
+    chain at hamming 0), for cluster-level dedup via
+    :func:`near_dup_clusters` rather than an exhaustive pair list.
     """
     n_bands = max_hamming + 1
     base_w = bits // n_bands
@@ -425,24 +436,44 @@ def simhash_pairs(
     ).select(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
     )
+    chain = None
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "chunk")
+        sized = bands.withColumn("_bn", F.count("*").over(wb))
+        hot = sized.filter(F.col("_bn") > max_bucket)
+        chain = (
+            hot.withColumn(
+                "_nxt",
+                F.lead(F.struct("doc_id", "simhash")).over(wb.orderBy("doc_id")),
+            )
+            .filter(F.col("_nxt").isNotNull())
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_nxt.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("simhash").bitwiseXOR(F.col("_nxt.simhash"))
+                ).alias("hamming"),
+            )
+        )
+        bands = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).alias("hamming"),
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    if chain is not None:
+        cand = cand.unionByName(chain)
+    return cand.distinct().filter(F.col("hamming") <= max_hamming)
 
 
 def near_dup_clusters(

@@ -472,3 +472,22 @@ def test_lsh_hot_bucket_cap_chains_without_quadratic_blowup(spark):
     # distractors stay singletons under the cap
     caps = dd.near_dup_clusters(docs, capped)
     assert {r["cluster_id"] for r in caps.filter(F.col("doc_id") >= 100).collect()} == {100, 101}
+
+
+def test_simhash_hot_bucket_cap_chains(spark):
+    """max_bucket on simhash_pairs: 40 identical docs produce C(40,2)=780
+    hamming-0 pairs exhaustively; capped buckets chain to O(40) while
+    cluster recovery still collapses the block into one cluster."""
+    rows = [(i, "identical boilerplate page content repeated across mirrors") for i in range(40)]
+    rows += [(100, "an entirely different document about watermarked streaming joins")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    exhaustive = dd.simhash_pairs(docs, max_hamming=3)
+    capped = dd.simhash_pairs(docs, max_hamming=3, max_bucket=8)
+    assert exhaustive.count() == 780
+    n_cap = capped.count()
+    assert n_cap < 160, n_cap  # <= 4 bands x 39 chain edges, deduped
+    clusters = dd.near_dup_clusters(docs, capped)
+    labels = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert all(labels[i] == 0 for i in range(40))
+    assert labels[100] == 100
