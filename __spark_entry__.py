@@ -29,6 +29,91 @@ _STOP = "('the','a','of','and','to','in','is','on','for','with')"
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
+# DuckDB twin of the FULL extraction pipeline (VERDICT r4 item 1): the
+# corpus fixture keys its encoding variant on CAST(doc_id AS BIGINT) % 7
+# (fixtures/corpus.py:variant_of), and every variant's decoded cues are
+# deterministic string math over (doc_id, text) — 4-word upper-cased cue
+# chunks, <= 6 cues split across two payloads, per-variant SubRip timing:
+# v0/1/2 plain 1000ms cadence; v3/6 MKV container timing (-1 ms); v4 dup
+# chains (3 re-sends, merged to one 30 ms cue only when the stream has
+# >= 3 chains — pgs/merge.py merge_count gate — else three 10 ms cues);
+# v5 multi-object opacity quirk blanks the first cue's text.  This makes
+# the whole binary decode path (segments -> assemble -> merge -> RLE ->
+# palette -> compose -> OCR -> SubRip) driver-oracle-verifiable.
+_EXTRACT_TC = (
+    "printf('%02d:%02d:%02d,%03d', {m} // 3600000, ({m} % 3600000) // 60000, "
+    "({m} % 60000) // 1000, {m} % 1000)"
+)
+
+_EXTRACT_ORACLE = f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CAST(doc_id AS BIGINT) % 7 AS v0,
+             (CAST(doc_id AS BIGINT) + 1) % 7 AS v1,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ), base AS (
+      SELECT doc_id, v0, v1, words,
+             greatest(len(words) // 2, 1) AS mid,
+             CASE WHEN len(words) = 0 THEN ['EMPTY']
+                  ELSE list_transform(
+                         range(1, least((len(words) + 3) // 4, 6) + 1),
+                         i -> array_to_string(
+                                list_transform(words, w -> upper(w))[4*i-3 : 4*i],
+                                ' '))
+             END AS cues
+      FROM d
+    ), docs2 AS (
+      SELECT *, greatest(len(cues) // 2, 1) AS half FROM base
+    ), text_rows AS (
+      SELECT doc_id, 0 AS "offset", CAST(0 AS BIGINT) AS seq, 'text' AS kind,
+             array_to_string(words[1:mid], ' ') AS text, '' AS media_ref
+      FROM docs2
+      UNION ALL
+      SELECT doc_id, 2, 0, 'text',
+             array_to_string(words[mid+1:len(words)], ' '), ''
+      FROM docs2
+    ), payloads AS (
+      SELECT doc_id, 0 AS payload, v0 AS v, half AS c,
+             unnest(range(0, half)) AS i, cues, half
+      FROM docs2
+      UNION ALL
+      SELECT doc_id, 1, v1, len(cues) - half,
+             unnest(range(0, len(cues) - half)), cues, half
+      FROM docs2 WHERE len(cues) > half
+    ), resent AS (
+      SELECT *, unnest(range(0, CASE WHEN v = 4 AND c < 3 THEN 3 ELSE 1 END)) AS j
+      FROM payloads
+    ), timed AS (
+      SELECT doc_id, payload, v, i, j,
+             CASE WHEN payload = 0 THEN cues[CAST(i+1 AS INTEGER)]
+                  ELSE cues[CAST(half+i+1 AS INTEGER)] END AS cue,
+             CASE WHEN v IN (3, 6) THEN 1000*(i+1) - 1
+                  WHEN v = 4 AND c >= 3 THEN 1000 + 1030*i
+                  WHEN v = 4 THEN 1000 + 1030*i + 10*j
+                  ELSE 1000*(i+1) END AS start_ms,
+             CASE WHEN v = 4 AND c >= 3 THEN 30
+                  WHEN v = 4 THEN 10 ELSE 500 END AS dur
+      FROM resent
+    ), cue_rows AS (
+      SELECT doc_id,
+             CASE WHEN payload = 0 THEN 1 ELSE 3 END AS "offset",
+             CAST(3*i + j AS BIGINT) AS seq,
+             'cue' AS kind,
+             {_EXTRACT_TC.format(m='start_ms')} || ' --> '
+               || {_EXTRACT_TC.format(m='(start_ms + dur)')} || chr(10)
+               || CASE WHEN v = 5 AND i = 0 THEN '' ELSE cue END AS text,
+             'pgs://' || doc_id || '/' || CAST(payload AS VARCHAR) AS media_ref
+      FROM timed
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset", seq) - 1
+                AS INTEGER) AS pos,
+           kind, text, media_ref, CAST("offset" AS INTEGER) AS "offset"
+    FROM (SELECT * FROM text_rows UNION ALL SELECT * FROM cue_rows)
+"""
+
+
 def _utc(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
@@ -295,6 +380,11 @@ def oracle_sql() -> dict[str, str]:
     disc_price = f"{price} * (CAST(1 AS DECIMAL(18,2)) - {disc})"
 
     return {
+        # flagship: the full binary extraction pipeline vs pure string math
+        # (both modes produce identical output by construction — the mode
+        # only changes the physical plan, so both get the same twin)
+        "extract_interleaved": _EXTRACT_ORACLE,
+        "extract_two_phase": _EXTRACT_ORACLE,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum({qty}) AS DOUBLE) AS sum_qty,
@@ -733,8 +823,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_a, vec_b, round(c, 4) AS cosine FROM p WHERE c >= 0.95
         """,
         # omitted on purpose (rows-only driver check; pinned in tests/):
-        #   extract_interleaved / extract_two_phase / extract_metrics /
-        #   srt_render — PGS binary kernels + OCR, not SQL-expressible;
+        #   extract_metrics / srt_render — per-payload decode metrics and
+        #     rendered SubRip bytes of the binary path (the cue VALUES are
+        #     already oracle-checked via extract_interleaved above);
         #   simhash_fingerprint / simhash_dups — the xxhash64 fingerprint
         #     IS the output; it has no DuckDB equivalent;
         #   ann_ivf_topk / ann_lsh_topk — probe-limited top-k is not equal

@@ -7,7 +7,9 @@ Builds tables of the authoritative shape (BASELINE.json ``input_hint``)
 from plain text (the driver's ``documents`` table supplies the words).
 Each doc interleaves prose text spans with media spans whose payloads are
 encoder-built PGS streams of the doc's own words; a deterministic variant
-(crc32 of doc_id) rotates through the fixture classes — plain SUP,
+(``CAST(doc_id AS BIGINT) % 7`` for numeric ids — SQL-expressible so the
+DuckDB twin can recompute it, VERDICT r4 item 1; crc32 fallback for
+non-numeric ids) rotates through the fixture classes — plain SUP,
 multi-fragment ODS, long-form RLE, Matroska-style packets, duplicate
 chains, multi-object compositions, real EBML/Matroska containers — so
 every decode path (including the S2 demux) is exercised at corpus scale.  Expected outputs come from the pure-Python oracle
@@ -39,6 +41,21 @@ _ATLAS_CHARS = None
 
 N_VARIANTS = 7
 _TICK_500MS = 45_000
+
+
+def variant_of(doc_id: str) -> int:
+    """Fixture-class variant for one doc.
+
+    Numeric doc_ids (the driver corpus) key on ``int(doc_id) % 7`` — the
+    same value DuckDB computes as ``CAST(doc_id AS BIGINT) % 7`` — so the
+    ``extract_interleaved`` oracle twin can re-derive which encoding class
+    each payload uses (only negative ids would diverge: Python ``%`` is
+    always non-negative, SQL ``%`` keeps the sign; driver ids are >= 0).
+    Non-numeric ids keep the crc32 key (rows-only paths, unit fixtures).
+    """
+    if doc_id.isdigit():
+        return int(doc_id) % N_VARIANTS
+    return zlib.crc32(doc_id.encode()) % N_VARIANTS
 
 
 def normalize_for_atlas(text: str) -> str:
@@ -110,7 +127,7 @@ def _media_payload(cues: list[str], variant: int) -> bytes:
 
 def doc_to_span_rows(doc_id: str, text: str) -> list[dict]:
     """One source doc -> interleaved span dicts (media text = base64)."""
-    variant = zlib.crc32(doc_id.encode()) % N_VARIANTS
+    variant = variant_of(doc_id)
     cues = _cue_texts(text)
     half = max(len(cues) // 2, 1)
     words = text.split()

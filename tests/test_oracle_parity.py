@@ -71,8 +71,6 @@ def test_all_queries_have_oracle_or_are_documented():
     rows_only = qs - oracles
     # every rows-only query must be one of the documented non-SQL ops
     documented = {
-        "extract_interleaved",
-        "extract_two_phase",
         "extract_metrics",
         "srt_render",
         "simhash_fingerprint",
