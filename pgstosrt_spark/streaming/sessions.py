@@ -124,7 +124,18 @@ def _make_kernel(gap_us: int, tombstone_retention_us: int):
             # tombstone (ADVICE r3: state.remove() here restarted a
             # returning user's session_id at 1 -> duplicate append keys)
             state.update((None, end, 0, 0, closed + 1))
-            state.setTimeoutTimestamp(end // 1000 + tombstone_retention_us // 1000)
+            # clamp to the watermark (ADVICE r4): if the watermark already
+            # jumped past end + retention (>30-day event-time gap, backfill
+            # replay, tiny retention), an un-clamped timestamp is in the
+            # past and setTimeoutTimestamp raises INVALID_TIMEOUT_TIMESTAMP,
+            # killing the streaming query; the tombstone then just expires
+            # at the next watermark tick, which is the intended semantics
+            state.setTimeoutTimestamp(
+                max(
+                    end // 1000 + tombstone_retention_us // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
             yield pd.DataFrame([_session_row(user_id, closed + 1, start, end, n, total)])
             return
 

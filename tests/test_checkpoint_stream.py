@@ -472,6 +472,51 @@ def test_streaming_sessionize_out_of_order_within_gap(spark, tmp_path):
     )
 
 
+def test_streaming_sessionize_tombstone_past_watermark(spark, tmp_path):
+    """ADVICE r4 (medium): when the timeout fires AFTER the watermark has
+    already jumped past session_end + tombstone_retention (huge event-time
+    gap / backfill replay / small retention), the tombstone timeout must be
+    clamped to the watermark — an un-clamped setTimeoutTimestamp(end +
+    retention) is in the past and raises INVALID_TIMEOUT_TIMESTAMP, killing
+    the streaming query."""
+    from pgstosrt_spark.streaming.sessions import sessionize_stream
+    from pgstosrt_spark.streaming.windowed import read_events_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "tombwm_src"
+    # retention = 1 day; user 2 jumps the watermark 10 days in one batch,
+    # so when user 1's 10:00 session times out (processed at the NEXT
+    # batch), end + retention (Jan 2) is already far behind the watermark
+    # (Jan 11) — the pre-fix code dies here.
+    _write_event_files(
+        src,
+        [
+            [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 10:00:00", 2, 1.0)],
+            [(3, "2024-01-11 10:00:00", 2, 1.0)],  # wm -> Jan 11 09:00
+            [(4, "2024-01-21 10:00:00", 2, 1.0)],  # timeout fires for user 1
+            [(5, "2024-01-31 10:00:00", 2, 1.0)],  # trailing watermark push
+        ],
+    )
+    q = (
+        sessionize_stream(
+            read_events_stream(spark, str(src)), tombstone_retention_days=1
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_tombwm")
+        .option("checkpointLocation", str(tmp_path / "tombwm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None, f"query died: {q.exception()}"
+    got = {
+        (r["user_id"], r["session_id"])
+        for r in spark.sql("select * from sess_tombwm").collect()
+    }
+    assert (1, 1) in got, f"user 1's timed-out session was lost: {sorted(got)}"
+
+
 def test_streaming_sessionize_hot_key(spark, tmp_path):
     """Hot-key bound (VERDICT r3 item 8): one user with 10^5 events in a
     single micro-batch folds through the slim (ts, value) numpy path —
