@@ -114,6 +114,43 @@ _EXTRACT_ORACLE = f"""
 """
 
 
+def _md5_60(tok):
+    """Cross-engine 60-bit token hash: first 15 hex chars of md5.  DuckDB
+    twin: CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) — bit-identical,
+    so simhash majority votes agree across engines."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """All-pairs hamming twin of the banded simhash_dups query: same md5
+    token hash, same strict 2*ones > n majority vote (zero-token docs ->
+    fingerprint 0), brute-force O(n^2) pair scan — the oracle the
+    pigeonhole banding must equal exactly."""
+    csums = ",\n                   ".join(
+        f"sum((h >> {b}) & 1) AS c{b}" for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2*c{b} > n THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM toks),
+        per AS (SELECT doc_id, count(*) AS n,
+                   {csums}
+                FROM h GROUP BY doc_id),
+        sig AS (SELECT d.doc_id,
+                       COALESCE({sig}, 0) AS s
+                FROM documents d LEFT JOIN per USING (doc_id))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
 def _utc(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
@@ -335,7 +372,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 0.2-level sweeps belong to the exact-Jaccard baseline above
         "minhash_lsh_dups": docs_q(lambda df: dd.minhash_lsh_pairs(df, threshold=0.5)),
         "simhash_fingerprint": docs_q(dd.simhash),
-        "simhash_dups": docs_q(lambda df: dd.simhash_pairs(df, max_hamming=3)),
+        # cross-engine token hash (md5-prefix, 60 bits) makes the WHOLE
+        # simhash surface — per-bit majority vote, pigeonhole banding,
+        # hamming scan — oracle-checkable: the banded search equals the
+        # twin's all-pairs scan by the pigeonhole theorem, not corpus
+        # luck.  Production default stays xxhash64 (JVM-fast, same plan).
+        "simhash_dups": docs_q(
+            lambda df: dd.simhash_pairs(
+                df, max_hamming=3, bits=60, token_hash=_md5_60
+            ).withColumn("hamming", F.col("hamming").cast("int"))
+        ),
         # similarity search over embeddings
         "ann_cosine_topk": lambda s, sf: sim.cosine_topk_bruteforce(
             _embeddings(_utc(s), sf), _embeddings(s, sf).filter(F.col("vec_id") < 5)
@@ -801,6 +847,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
             FROM p WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5
         """,
+        # simhash_dups: same md5-60bit token hash both sides; Spark's
+        # pigeonhole banding (max_hamming+1 bands) provably equals the
+        # twin's all-pairs hamming scan, so this pins the entire simhash
+        # machinery (majority vote, banding, bit_count) cross-engine
+        "simhash_dups": _simhash_oracle(bits=60, max_hamming=3),
         # embedding_near_dup's blocking catches exact duplicates with
         # probability 1 (identical vectors share cell and sign bits) and
         # the output cosine is exact, so the brute-force all-pairs twin is
@@ -826,8 +877,8 @@ def oracle_sql() -> dict[str, str]:
         #   extract_metrics / srt_render — per-payload decode metrics and
         #     rendered SubRip bytes of the binary path (the cue VALUES are
         #     already oracle-checked via extract_interleaved above);
-        #   simhash_fingerprint / simhash_dups — the xxhash64 fingerprint
-        #     IS the output; it has no DuckDB equivalent;
+        #   simhash_fingerprint — the xxhash64 fingerprint IS the output;
+        #     it has no DuckDB equivalent (simhash_dups is verified above);
         #   ann_ivf_topk / ann_lsh_topk — probe-limited top-k is not equal
         #     to brute force by construction (verified in
         #     tests/test_functions.py for recall vs brute force).

@@ -74,7 +74,6 @@ def test_all_queries_have_oracle_or_are_documented():
         "extract_metrics",
         "srt_render",
         "simhash_fingerprint",
-        "simhash_dups",
         "ann_ivf_topk",
         "ann_lsh_topk",
     }
