@@ -389,6 +389,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, sf: sim.ivf_topk(
             _embeddings(_utc(s), sf), _embeddings(s, sf).filter(F.col("vec_id") < 5)
         ),
+        # exhaustive probe (nprobe=None): every cell probed, so IVF must
+        # EQUAL brute force exactly — proves the assign/probe/rank plumbing
+        # end to end against the same DuckDB twin as ann_cosine_topk
+        "ann_ivf_exhaustive": lambda s, sf: sim.ivf_topk(
+            _embeddings(_utc(s), sf),
+            _embeddings(s, sf).filter(F.col("vec_id") < 5),
+            nprobe=None,
+            exact_scores=True,
+        ),
         # centroid-free LSH-bucketed ANN; recall pinned vs brute force in
         # tests/ (driver embeddings have no high-cosine structure, so the
         # query plants 5 exact duplicates the index must rank first)
@@ -807,6 +816,22 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
             FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
             GROUP BY d.doc_id
+        """,
+        "ann_ivf_exhaustive": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+            s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+                         list_sum(list_transform(list_zip(q.q_emb, v.emb), x -> x[1] * x[2]))
+                         / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                            * sqrt(list_sum(list_transform(v.emb, x -> x * x)))) AS score_raw
+                  FROM e v, q WHERE v.vec_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id, score_raw,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score_raw DESC, neighbor_id) AS rnk
+                  FROM s)
+            SELECT query_id, neighbor_id, rnk, round(score_raw, 4) AS score
+            FROM r WHERE rnk <= 10
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -248,12 +248,25 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     n_centroids: int | None = 16,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine: int = 1,
+    exact_scores: bool = False,
 ) -> DataFrame:
     """ANN top-k probing the ``nprobe`` nearest centroid cells per query.
+
+    ``nprobe=None`` probes EVERY cell — since each vector lives in exactly
+    one cell, the candidate set is then the whole corpus and the result
+    must equal :func:`cosine_topk_bruteforce` exactly, which is what makes
+    the assign/probe/rank plumbing oracle-checkable end to end (VERDICT r4
+    item 4: the ``ann_ivf_exhaustive`` driver query reuses the brute-force
+    DuckDB twin).  ``exact_scores=True`` scores candidates with the
+    sequential-sum expression path instead of the numpy-batched kernel:
+    numpy's pairwise summation can flip round(score, 4) at a rounding
+    boundary vs DuckDB's left-to-right sum, so the oracle-checked variant
+    must sum in the oracle's order (production keeps the ~10x faster
+    Arrow kernel).
 
     ``refine`` = Lloyd iterations on the seed centroids (see
     :func:`ivf_assign`).  Measured time-for-recall tradeoff (sf0.1 driver
@@ -269,29 +282,41 @@ def ivf_topk(
     recall-tolerant."""
     assigned, cents = ivf_assign(vectors, n_centroids, id_col, vec_col, refine=refine)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
-    q_cells = q.join(F.broadcast(cents)).select(
-        "query_id",
-        "q_emb",
-        "centroid_id",
-        _cosine_batch(
-            F.col("q_emb").cast("array<double>"), F.col("c_emb").cast("array<double>")
-        ).alias("c_score"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("c_score").desc(), F.col("centroid_id"))
-    probes = (
-        q_cells.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_emb", "centroid_id")
-    )
+    if nprobe is None:
+        # exhaustive probe: every cell — no centroid ranking to compute
+        probes = q.join(F.broadcast(cents.select("centroid_id")))
+    else:
+        q_cells = q.join(F.broadcast(cents)).select(
+            "query_id",
+            "q_emb",
+            "centroid_id",
+            _cosine_batch(
+                F.col("q_emb").cast("array<double>"), F.col("c_emb").cast("array<double>")
+            ).alias("c_score"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("c_score").desc(), F.col("centroid_id")
+        )
+        probes = (
+            q_cells.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "q_emb", "centroid_id")
+        )
     cand = probes.join(assigned, "centroid_id").filter(
         F.col("query_id") != F.col(id_col)
     )
+    if exact_scores:
+        qd = F.col("q_emb").cast("array<double>")
+        vd = F.col(vec_col).cast("array<double>")
+        score = _dot(qd, vd) / (_norm(qd) * _norm(vd))
+    else:
+        score = _cosine_batch(
+            F.col("q_emb").cast("array<double>"), F.col(vec_col).cast("array<double>")
+        )
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        _cosine_batch(
-            F.col("q_emb").cast("array<double>"), F.col(vec_col).cast("array<double>")
-        ).alias("score_raw"),
+        score.alias("score_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_raw").desc(), F.col("neighbor_id").asc()
