@@ -151,6 +151,41 @@ def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     """
 
 
+def _embed_cte(dim: int = 64, n: int = 4) -> str:
+    """Shared DuckDB CTE computing the hashed-n-gram embedding exactly as
+    functions/embed.py: raw (non-distinct) word n-grams, md5-prefix bucket
+    hash, integer counts (exact in double), one L2 normalize.  Yields
+    ``emb(doc_id, v)`` over a ``src(doc_id, text)`` CTE the caller defines.
+    """
+    csums = ",\n                 ".join(
+        f"sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(dim)
+    )
+    cvec = "[" + ", ".join(f"COALESCE(c{i}, 0)" for i in range(dim)) + "]"
+    return f"""
+        toks AS (SELECT doc_id, {_TOKS} AS tk FROM src),
+        grams AS (SELECT doc_id,
+                         unnest(CASE WHEN len(tk) >= {n}
+                                THEN list_transform(range(1, len(tk) - {n - 2}),
+                                       i -> array_to_string(tk[i:i+{n - 1}], ' '))
+                                ELSE [] END) AS g
+                  FROM toks),
+        bkt AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {dim} AS b
+                FROM grams),
+        per AS (SELECT doc_id, {csums}
+                FROM bkt GROUP BY doc_id),
+        cnts AS (SELECT s.doc_id, {cvec} AS c
+                 FROM src s LEFT JOIN per USING (doc_id)),
+        emb AS (SELECT doc_id,
+                       list_transform(c, x -> CASE WHEN
+                           sqrt(list_sum(list_transform(c, y -> CAST(y*y AS DOUBLE)))) > 0
+                         THEN CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(c, y -> CAST(y*y AS DOUBLE))))
+                         ELSE 0.0 END) AS v
+                FROM cnts)
+    """
+
+
 def _utc(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
@@ -301,6 +336,7 @@ def _q_interval_join(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pgstosrt_spark.functions import dedup as dd
+    from pgstosrt_spark.functions import embed as embd
     from pgstosrt_spark.functions import similarity as sim
     from pgstosrt_spark.functions import text as tx
     from pgstosrt_spark.operators import relational as rel
@@ -420,6 +456,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("vec_id", F.col("vec_id") + 100_000)
             ),
             threshold=0.95,
+        ),
+        # text -> embedding featurizer (functions/embed.py): hashed-n-gram
+        # projection with the cross-engine md5 bucket hash; components are
+        # exact integer-count math + one IEEE sqrt/divide, so the VALUES
+        # are oracle-checked (round 6)
+        "text_embed_components": lambda s, sf: (
+            embd.embed_text(
+                _documents(_utc(s), sf).select("doc_id", "text"),
+                dim=64,
+                n=4,
+                bucket_hash=_md5_60,
+            )
+            .select("doc_id", F.posexplode("embedding").alias("idx", "val"))
+            .select("doc_id", "idx", F.round("val", 6).alias("val"))
+        ),
+        # the full pipeline-loop chain: documents (+10 planted exact-dup
+        # texts) -> embed_text -> embedding_near_dup, vs a brute-force
+        # all-pairs cosine twin over the SAME derived vectors; exact_scores
+        # keeps the summation order bit-equal to the oracle
+        "text_embed_near_dup": lambda s, sf: sim.embedding_near_dup(
+            embd.embed_text(
+                _documents(_utc(s), sf)
+                .select("doc_id", "text")
+                .unionByName(
+                    _documents(s, sf)
+                    .select("doc_id", "text")
+                    .filter(F.col("doc_id") < 10)
+                    .withColumn("doc_id", F.col("doc_id") + 100_000)
+                ),
+                dim=64,
+                n=4,
+                bucket_hash=_md5_60,
+            ),
+            threshold=0.95,
+            id_col="doc_id",
+            exact_scores=True,
         ),
     }
 
@@ -898,6 +970,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, round(c, 4) AS cosine FROM p WHERE c >= 0.95
         """,
+        "text_embed_components": f"""
+            WITH src AS (SELECT doc_id, text FROM documents),
+            {_embed_cte(64, 4)}
+            SELECT doc_id, CAST(idx AS INTEGER) AS idx, round(v[CAST(idx+1 AS INTEGER)], 6) AS val
+            FROM (SELECT doc_id, v, unnest(range(0, 64)) AS idx FROM emb)
+        """,
+        # twin of the FULL chain semantics, blocking included: with
+        # refine=0 the IVF blocking is deterministic (seeds = the 16
+        # lowest-id vectors, assignment = exact-cosine argmax with ties to
+        # the smallest centroid id), so the twin recomputes embed ->
+        # assign -> same-cell pair join -> exact cosine.  Like the simhash
+        # banding twin, the oracle pins the operator's DEFINED semantics —
+        # IVF blocking is ANN, not an all-pairs guarantee, and the twin
+        # makes that semantics explicit instead of hoping recall is 1.0.
+        "text_embed_near_dup": f"""
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10),
+            {_embed_cte(64, 4)},
+            cents AS (SELECT doc_id AS cid, v AS cv FROM emb ORDER BY doc_id LIMIT 16),
+            sc AS (SELECT e.doc_id, e.v, c.cid,
+                          list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1]*x[2])) / (sqrt(list_sum(list_transform(e.v, x -> x*x))) * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cs
+                   FROM emb e CROSS JOIN cents c),
+            asg AS (SELECT doc_id, v, cid FROM (
+                      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                   ORDER BY cs DESC, cid) AS rn
+                      FROM sc)
+                    WHERE rn = 1)
+            SELECT a.doc_id AS vec_a, b.doc_id AS vec_b,
+                   round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cosine
+            FROM asg a JOIN asg b ON a.cid = b.cid AND a.doc_id < b.doc_id
+            WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.95
+        """
         # omitted on purpose (rows-only driver check; pinned in tests/):
         #   extract_metrics / srt_render — per-payload decode metrics and
         #     rendered SubRip bytes of the binary path (the cue VALUES are

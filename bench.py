@@ -8,7 +8,7 @@ JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per-sample probe arrays and the full validity/skew payload go to a sidecar
-file (default BENCH/r4_bench_detail.json, override
+file (default BENCH/r5_bench_detail.json, override
 $SPARK_GRAFT_BENCH_DETAIL) referenced by the line's "detail_file" — the
 driver captures a bounded stdout tail, so the printed line must stay small
 (r3's samples-embedded line got truncated mid-JSON and the round lost its
@@ -32,7 +32,11 @@ best speed seen), and a sample only counts as CLEAN when
     sub-second queries from masquerading as bursts).
 Queries are sampled in interleaved round-robin passes (bursts decorrelate
 from any single query); passes continue until every query has >= MIN_CLEAN
-clean samples or the pass cap is hit.  The recorded time is the MIN over
+clean samples or the pass cap is hit.  The two extraction headliners then
+get a FOCUSED re-measure loop (VERDICT r4 item 2): they alone keep
+sampling until each holds >= FOCUS_TARGET mutually-confirming clean
+samples or FOCUS_CAP_SEC of wall clock passes, so the evidence depth the
+record rests on lives in this artifact.  The recorded time is the MIN over
 ALL samples — interference is additive (a burst can only inflate a wall
 time), so the fastest observation is the tightest upper bound on the true
 runtime regardless of its probe status; cleanliness feeds only the
@@ -75,6 +79,13 @@ TIME_GRACE = 1.0
 # extra clean sample and get extra passes to reach it.
 SETTLE_SPREAD = 0.10
 DEEP_EXTRA_PASSES = 2
+# focused headliner re-measure (VERDICT r4 item 2): after the interleaved
+# passes, the two extraction headliners alone keep sampling until each has
+# >= FOCUS_TARGET mutually-confirming clean samples or the wall cap — the
+# record's evidence depth must live in the DRIVER artifact, not a manual
+# BASELINE.md section.
+FOCUS_TARGET = int(os.environ.get("SPARK_GRAFT_BENCH_FOCUS_CLEAN", "3"))
+FOCUS_CAP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FOCUS_CAP", "900"))
 
 
 def _build_corpus_cache(spark, sf_dir: str, cache_dir: str) -> str:
@@ -252,6 +263,16 @@ def _measure_interleaved(
                 f"pre={pre:.3f} post={post:.3f}",
                 file=sys.stderr,
             )
+    timings, validity = _finalize(samples, min_clean, deep)
+    return timings, samples, validity
+
+
+def _finalize(
+    samples: dict[str, list[dict]],
+    min_clean: int = MIN_CLEAN,
+    deep: frozenset[str] = frozenset(),
+) -> tuple[dict, dict]:
+    """samples -> (timings, validity) under the min-over-ALL-samples rule."""
     timings: dict[str, float] = {}
     rejected: dict[str, list[dict]] = {}
     degraded: list[str] = []
@@ -280,13 +301,62 @@ def _measure_interleaved(
         "under_sampled": sorted(degraded),
         # settled = reached its clean-count target with <10% spread; an
         # unsettled-but-not-under_sampled query met min_clean but its clean
-        # samples still disagree (record = best clean, flagged here)
+        # samples still disagree — the record stays the min over ALL
+        # samples either way (the rule above); this label only marks that
+        # the clean evidence has not mutually confirmed it yet
         "unsettled": sorted(
-            name for name, ss in samples.items() if not _settled(ss, _target(name))
+            name
+            for name, ss in samples.items()
+            if not _settled(ss, min_clean + 1 if name in deep else min_clean)
         ),
         "all_clean": not degraded,
     }
-    return timings, samples, validity
+    return timings, validity
+
+
+def _clean_best(ss: list[dict]) -> float | None:
+    clean = _clean_samples(ss)
+    return min(s["sec"] for s in clean) if clean else None
+
+
+def _focus_headliners(
+    samples: dict[str, list[dict]],
+    thunks: list[tuple[str, object]],
+    names: list[str],
+    target: int = FOCUS_TARGET,
+    cap_sec: float = FOCUS_CAP_SEC,
+) -> None:
+    """Keep sampling just ``names`` (round-robin) until each has >= target
+    clean samples with settled spread, or ``cap_sec`` of wall clock passes
+    (VERDICT r4 item 2).  Appends into ``samples`` in place; the focused
+    samples carry ``focus: true`` so the audit trail shows which passes
+    were interleaved and which were the headliner re-measure."""
+    by_name = dict(thunks)
+    t0 = time.time()
+    while time.time() - t0 < cap_sec:
+        pending = [n for n in names if not _settled(samples[n], target)]
+        if not pending:
+            break
+        for n in pending:
+            if time.time() - t0 >= cap_sec:
+                break
+            pre = _wait_quiet()
+            t1 = time.perf_counter()
+            by_name[n]()
+            dt = time.perf_counter() - t1
+            post = _probe()
+            samples[n].append(
+                {
+                    "sec": round(dt, 3),
+                    "pre": round(pre, 4),
+                    "post": round(post, 4),
+                    "focus": True,
+                }
+            )
+            print(
+                f"[bench] focus {n} sec={dt:.3f} pre={pre:.3f} post={post:.3f}",
+                file=sys.stderr,
+            )
 
 
 def run_bench(sf_dir: str, cpus: int) -> dict:
@@ -342,9 +412,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "global_topk",
         )
     ]
-    timings, samples, validity = _measure_interleaved(
-        thunks, deep=frozenset({"extract_fused", "extract_two_phase"})
-    )
+    deep = frozenset({"extract_fused", "extract_two_phase"})
+    timings, samples, validity = _measure_interleaved(thunks, deep=deep)
+    # focused re-measure: headliners keep sampling until >= FOCUS_TARGET
+    # mutually-confirming clean samples each (or the wall cap) so the
+    # driver artifact itself carries the evidence depth
+    _focus_headliners(samples, thunks, sorted(deep))
+    timings, validity = _finalize(samples, deep=deep)
+    headline_clean_best = {n: _clean_best(samples[n]) for n in sorted(deep)}
 
     # ---- skew section: the two-phase escape hatch must WIN here --------
     slots = spark.sparkContext.defaultParallelism
@@ -391,6 +466,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / extract_sec, 1) if extract_sec else None,
         "cpus": cpus,
+        "headline_clean_best": headline_clean_best,
         "samples": samples,
         "validity": validity,
         "skew": {
@@ -419,7 +495,7 @@ def main() -> None:
     detail_file = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH", "r4_bench_detail.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "r5_bench_detail.json"
         ),
     )
     os.makedirs(os.path.dirname(detail_file), exist_ok=True)
@@ -436,6 +512,9 @@ def main() -> None:
         "docs": result["docs"],
         "docs_per_sec": result["docs_per_sec"],
         "cpus": result["cpus"],
+        # min over clean samples only — the mutually-confirming headline
+        # number, printed alongside the min-over-all record
+        "headline_clean_best": result["headline_clean_best"],
         "validity": {
             "all_clean": result["validity"]["all_clean"],
             "under_sampled": result["validity"]["under_sampled"],

@@ -131,19 +131,31 @@ def cosine_topk_bruteforce(
     )
 
 
-def _assign(vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _assign(
+    vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    exact_scores: bool = False,
+) -> DataFrame:
     """Nearest-centroid assignment (cosine argmax, ties to the smallest
     centroid_id).  Broadcast join + min_by aggregation instead of a per-id
     window: the declarative agg gets map-side partial combine, so the
     shuffle carries ONE row per vector rather than one per (vector,
-    centroid) pair."""
+    centroid) pair.  ``exact_scores`` switches the assignment cosine to
+    the sequential-sum expression path so a SQL twin computing the same
+    argmax can never disagree on a near-boundary cell (see ivf_topk)."""
+    vd = F.col(vec_col).cast("array<double>")
+    cd = F.col("c_emb").cast("array<double>")
+    if exact_scores:
+        cscore = _dot(vd, cd) / (_norm(vd) * _norm(cd))
+    else:
+        cscore = _cosine_batch(vd, cd)
     scored = vectors.select(id_col, vec_col).join(F.broadcast(cents)).select(
         id_col,
         vec_col,
         "centroid_id",
-        _cosine_batch(
-            F.col(vec_col).cast("array<double>"), F.col("c_emb").cast("array<double>")
-        ).alias("c_score"),
+        cscore.alias("c_score"),
     )
     best = F.min_by(
         "centroid_id",
@@ -201,6 +213,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     refine: int = 1,
     persist_assignment: bool = False,
+    exact_scores: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (assigned vectors with centroid_id, centroid table).
 
@@ -236,7 +249,7 @@ def ivf_assign(
     # order would drop the fresh entry along with the stale one and leave
     # nothing cached at all
     unpersist_ivf_caches()
-    assigned = _assign(vectors, cents.persist(), id_col, vec_col)
+    assigned = _assign(vectors, cents.persist(), id_col, vec_col, exact_scores)
     _IVF_CACHES.append(cents)
     if persist_assignment:
         _IVF_CACHES.append(assigned.persist())
@@ -469,9 +482,15 @@ def embedding_near_dup(
     refine: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_scores: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), IVF-bucketed with
     a hot-cell cap.
+
+    ``exact_scores=True`` swaps the numpy-batched cosine for the
+    sequential-sum expression path (see :func:`ivf_topk`) so scores and
+    the threshold compare are bit-equal to a left-to-right-summing oracle;
+    production keeps the Arrow kernel.
 
     ``refine=0`` (no Lloyd pass) is the default here, unlike
     :func:`ivf_topk`: blocking only needs a *consistent deterministic*
@@ -499,7 +518,13 @@ def embedding_near_dup(
     # the assignment feeds the cell-size count AND both pair-join sides:
     # persist it (one computation, plan-asserted in tests/test_plans.py)
     assigned, _ = ivf_assign(
-        vectors, n_centroids, id_col, vec_col, refine=refine, persist_assignment=True
+        vectors,
+        n_centroids,
+        id_col,
+        vec_col,
+        refine=refine,
+        persist_assignment=True,
+        exact_scores=exact_scores,
     )
     sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("cell_n"))
     tagged = assigned.join(F.broadcast(sizes), "centroid_id").withColumn(
@@ -554,13 +579,13 @@ def embedding_near_dup(
         # cell, then distinct() threw the duplicates away)
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    scored = pairs.select(
-        "vec_a",
-        "vec_b",
-        _cosine_batch(
-            F.col("_emb_a").cast("array<double>"), F.col("_emb_b").cast("array<double>")
-        ).alias("score_raw"),
-    )
+    ea = F.col("_emb_a").cast("array<double>")
+    eb = F.col("_emb_b").cast("array<double>")
+    if exact_scores:
+        score = _dot(ea, eb) / (_norm(ea) * _norm(eb))
+    else:
+        score = _cosine_batch(ea, eb)
+    scored = pairs.select("vec_a", "vec_b", score.alias("score_raw"))
     return scored.filter(F.col("score_raw") >= threshold).select(
         "vec_a", "vec_b", F.round("score_raw", 4).alias("cosine")
     )

@@ -73,4 +73,55 @@ def test_settled_requires_consistent_clean_samples():
     spread = [_s(10.0), _s(14.0)]
     assert bench._settled(tight, target=2)
     assert not bench._settled(spread, target=2)
+
+
+def test_focus_headliners_samples_until_clean_target(monkeypatch):
+    """VERDICT r4 item 2: the focused loop keeps re-measuring ONLY the
+    named headliners until each holds >= target clean, mutually-confirming
+    samples — and stamps its samples focus=true for the audit trail."""
+    monkeypatch.setattr(bench, "_wait_quiet", lambda: 1.0)
+    monkeypatch.setattr(bench, "_probe", lambda: 1.0)
+    clock = [0.0]
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock[0])
+    monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+
+    calls = {"hl": 0, "other": 0}
+
+    def hl():
+        calls["hl"] += 1
+        clock[0] += 10.0
+
+    def other():
+        calls["other"] += 1
+        clock[0] += 1.0
+
+    # headliner starts with one dirty sample only -> needs 3 clean
+    samples = {"hl": [_s(30.0, pre=0.5)], "other": [_s(1.0), _s(1.0)]}
+    bench._focus_headliners(
+        samples, [("hl", hl), ("other", other)], ["hl"], target=3, cap_sec=1e9
+    )
+    assert calls["other"] == 0, "focus loop must not touch non-headliners"
+    clean = bench._clean_samples(samples["hl"])
+    assert len(clean) >= 3
+    assert all(s.get("focus") for s in samples["hl"][1:])
+    timings, validity = bench._finalize(samples, min_clean=2)
+    assert timings["hl"] == 10.0
+    assert "hl" not in validity["under_sampled"]
+    assert "hl" not in validity["unsettled"]
+
+
+def test_focus_headliners_respects_wall_cap(monkeypatch):
+    monkeypatch.setattr(bench, "_wait_quiet", lambda: 0.5)  # never clean
+    monkeypatch.setattr(bench, "_probe", lambda: 0.5)
+    clock = [0.0]
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock[0])
+    monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+
+    def hl():
+        clock[0] += 10.0
+
+    samples = {"hl": []}
+    bench._focus_headliners(samples, [("hl", hl)], ["hl"], target=3, cap_sec=35.0)
+    # dirty probes forever -> loop must stop at the cap, not spin
+    assert 1 <= len(samples["hl"]) <= 4
     assert not bench._settled([_s(10.0)], target=2)
