@@ -191,6 +191,35 @@ def test_near_dup_clusters_nonconvergence_is_loud(spark):
     assert full == {i: 1 for i in range(1, 7)}
 
 
+def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir (ADVICE r4): the reliable-checkpoint mode must
+    produce identical clusters and actually write round checkpoints into
+    the given directory (recoverable on executor loss, unlike
+    localCheckpoint blocks)."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.near_dup_clusters(
+            docs, chain, max_iter=8, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 7)}
+    written = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(ckpt)
+        for f in fn
+    ]
+    assert written, "reliable mode must write checkpoint files"
+
+
 def test_simhash_empty_and_unrelated_docs(spark):
     rows = [(1, ""), (2, "   "), (3, "alpha beta gamma delta"), (4, "zeta eta theta iota")]
     sig = {r["doc_id"]: r["simhash"] for r in dd.simhash(
