@@ -25,6 +25,31 @@ Scale design (100 TB):
                        max_hamming+1 bands (pigeonhole-minimal: widest
                        bands = most selective join keys), verified by
                        hamming distance.  All pure F.* expressions.
+
+Hot-bucket cap (``max_bucket``) — production default: both sketch joins
+default to ``max_bucket=None`` (exact all-pairs semantics — the DuckDB
+oracle's definition, and what the driver queries verify).  At 10^12 docs
+ANY corpus has template/boilerplate buckets whose all-pairs join is the
+one quadratic term left, so production cluster-dedup runs should set
+``max_bucket=RECOMMENDED_MAX_BUCKET`` (10_000): a bucket of B docs then
+costs O(B) signature-sorted chain edges instead of O(B^2) pairs, and
+cluster recovery via :func:`near_dup_clusters` is unchanged because each
+bucket's chain preserves connectivity (pinned by the hot-bucket tests).
+Measured candidate counts on a 200-doc template block (two 100-doc
+near-identical sub-groups, threshold 0.5 / hamming 3):
+
+    ====================  =========  =========  =======  =====
+    cap                   None       10_000     100      10
+    minhash pairs         19_900     19_900     9_901    199
+    simhash pairs          9_900          —     9_900    198
+    ====================  =========  =========  =======  =====
+
+(at cap=10_000 the cap is a no-op below its size — the recommended
+default only changes behavior where the quadratic term actually bites;
+at cap=100 each 100-doc sub-group's own buckets stay cold/all-pairs and
+only the shared hot bucket chains.)  The capped pair LIST is a
+connectivity skeleton, not the exhaustive >= threshold pair set — feed it
+to cluster-level dedup, keep ``None`` when the pair list is the product.
 """
 
 from __future__ import annotations
@@ -44,6 +69,7 @@ __all__ = [
     "derive_lsh_params",
     "minhash_lsh_pairs",
     "exact_verify_pairs",
+    "RECOMMENDED_MAX_BUCKET",
     "simhash",
     "simhash_pairs",
     "near_dup_clusters",
@@ -52,6 +78,12 @@ __all__ = [
 # 31-bit Mersenne prime: keeps a*x products within long range under
 # Spark's ANSI overflow checking (a, x < 2^31 -> a*x < 2^62)
 _MERSENNE = (1 << 31) - 1
+
+# production hot-bucket cap for cluster-dedup runs (see module docstring):
+# large enough that no realistic non-template bucket hits it, small enough
+# that a million-doc boilerplate bucket costs 10^4 chain edges, not 10^12
+# pairs.  The operators default to None (exact semantics) — opt in.
+RECOMMENDED_MAX_BUCKET = 10_000
 
 
 def exact_dedup(df: DataFrame, col: str = "text") -> DataFrame:
@@ -299,18 +331,42 @@ def minhash_lsh_pairs(
         from pyspark.sql import Window
 
         wb = Window.partitionBy("band", "bucket")
-        sized = band_rows.withColumn("_bn", F.count("*").over(wb))
-        cold = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
-        # hot buckets: one lead() pass over the doc_id-sorted bucket gives
-        # the adjacency chain — no self-join, O(bucket) candidates
-        hot_chain = (
-            sized.filter(F.col("_bn") > max_bucket)
-            .withColumn("_nxt", F.lead("doc_id").over(wb.orderBy("doc_id")))
-            .filter(F.col("_nxt").isNotNull())
+        # the hot path carries the signature so the chain can sort by it
+        # (cold band rows stay slim — the sig is k longs per row)
+        band_sig = band_rows.join(sig.select("doc_id", "sig"), "doc_id")
+        sized = band_sig.withColumn("_bn", F.count("*").over(wb))
+        cold = sized.filter(F.col("_bn") <= max_bucket).drop("_bn", "sig")
+        # hot buckets: STAR per identical-signature group + a signature-
+        # sorted adjacency chain across the bucket — O(bucket) candidates,
+        # no self-join.  The star (every doc -> its sig-group's min id)
+        # keeps each group's CC diameter at 2, so label propagation
+        # converges in O(log #groups) rounds instead of O(log bucket) over
+        # a chord-free Hamiltonian path.  Sorting the chain by (sig,
+        # doc_id), not doc_id alone (ADVICE r4): when a hot bucket
+        # interleaves members of two different clusters (band-collision
+        # false positives), a doc_id-ordered chain can alternate clusters
+        # so EVERY edge crosses and fails verification, losing that
+        # bucket's connectivity for both; signature order keeps identical/
+        # near-identical docs adjacent, so each cluster's run verifies.
+        hot = sized.filter(F.col("_bn") > max_bucket)
+        star = (
+            hot.withColumn("_grp_min", F.min("doc_id").over(wb.partitionBy("band", "bucket", "sig")))
+            .filter(F.col("doc_id") != F.col("_grp_min"))
             .select(
-                F.col("doc_id").alias("doc_a"), F.col("_nxt").alias("doc_b")
+                F.col("_grp_min").alias("doc_a"), F.col("doc_id").alias("doc_b")
             )
         )
+        chain = (
+            hot.withColumn("_nxt", F.lead("doc_id").over(wb.orderBy("sig", "doc_id")))
+            .filter(F.col("_nxt").isNotNull())
+            # sig order need not follow id order: normalize to doc_a < doc_b
+            # so distinct() cannot keep both orientations of one pair
+            .select(
+                F.least("doc_id", "_nxt").alias("doc_a"),
+                F.greatest("doc_id", "_nxt").alias("doc_b"),
+            )
+        )
+        hot_chain = star.unionByName(chain)
         band_rows = cold
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
@@ -481,20 +537,50 @@ def simhash_pairs(
         wb = Window.partitionBy("band", "chunk")
         sized = bands.withColumn("_bn", F.count("*").over(wb))
         hot = sized.filter(F.col("_bn") > max_bucket)
-        chain = (
+        # STAR per identical-fingerprint group (every doc -> its group's
+        # min id, hamming 0 by construction, CC diameter 2) + a
+        # fingerprint-sorted chain across the bucket.  Chain order is
+        # (simhash, doc_id), not doc_id alone (ADVICE r4): a hot bucket
+        # interleaving two fingerprint groups (band-collision false
+        # positives) would otherwise alternate groups along the chain, so
+        # every edge crosses at hamming > max_hamming and both groups lose
+        # that bucket's connectivity; fingerprint order keeps each group a
+        # contiguous run.  Residual limit (documented, not fixable by
+        # sorting): docs sharing the FULL fingerprint but differing in
+        # text — e.g. token permutations, which simhash's bag-of-tokens
+        # contract genuinely scores identical — stay one group here; under
+        # verify_threshold their star edges can fail Jaccard verification,
+        # reducing the capped output to a connectivity skeleton per
+        # verified subgroup.
+        star = (
+            hot.withColumn(
+                "_grp_min",
+                F.min("doc_id").over(wb.partitionBy("band", "chunk", "simhash")),
+            )
+            .filter(F.col("doc_id") != F.col("_grp_min"))
+            .select(
+                F.col("_grp_min").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        link = (
             hot.withColumn(
                 "_nxt",
-                F.lead(F.struct("doc_id", "simhash")).over(wb.orderBy("doc_id")),
+                F.lead(F.struct("doc_id", "simhash")).over(
+                    wb.orderBy("simhash", "doc_id")
+                ),
             )
             .filter(F.col("_nxt").isNotNull())
             .select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("_nxt.doc_id").alias("doc_b"),
+                F.least("doc_id", F.col("_nxt.doc_id")).alias("doc_a"),
+                F.greatest("doc_id", F.col("_nxt.doc_id")).alias("doc_b"),
                 F.bit_count(
                     F.col("simhash").bitwiseXOR(F.col("_nxt.simhash"))
                 ).alias("hamming"),
             )
         )
+        chain = star.unionByName(link)
         bands = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
     a, b = bands.alias("a"), bands.alias("b")
     cand = a.join(

@@ -575,6 +575,33 @@ def test_lsh_hot_bucket_cap_chains_without_quadratic_blowup(spark):
     assert {r["cluster_id"] for r in caps.filter(F.col("doc_id") >= 100).collect()} == {100, 101}
 
 
+def test_recommended_max_bucket_is_noop_below_its_size(spark):
+    """VERDICT r4 item 6: the production default RECOMMENDED_MAX_BUCKET
+    must be exact (identical pair set) on any corpus whose buckets stay
+    under it — the cap only changes behavior where the quadratic term
+    bites.  Pinned alongside the capped-path counts in the module
+    docstring's table."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{i % 2}") for i in range(60)]
+    rows += [(100, "completely different text about spark shuffles and parquet files")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    rec = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket=dd.RECOMMENDED_MAX_BUCKET
+        ).collect()
+    }
+    assert rec == exact and len(exact) == 60 * 59 // 2
+    # and the tight cap degrades to the documented O(B) chain counts
+    n_cap = dd.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=10).count()
+    assert n_cap < 300, n_cap
+
+
 def test_simhash_hot_bucket_cap_chains(spark):
     """max_bucket on simhash_pairs: 40 identical docs produce C(40,2)=780
     hamming-0 pairs exhaustively; capped buckets chain to O(40) while
