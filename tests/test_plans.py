@@ -65,6 +65,23 @@ def test_sketch_ops_stay_in_codegen_aggregates(spark):
         assert "WindowExec" not in plan
 
 
+def test_embed_text_one_shuffle_pruned_scan(spark):
+    """embed_text's scale shape: exactly ONE exchange (the per-doc
+    aggregate, map-side combined to a dim-column row), and the parquet
+    scan pruned to (doc_id, text)."""
+    from pgstosrt_spark.functions import embed as embd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = _plan(embd.embed_text(docs, dim=64, n=4), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    first_exchange = plan.find("Exchange")
+    assert "HashAggregate" in plan[:first_exchange]  # map-side partial
+    assert "HashAggregate" in plan[first_exchange:]
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in _plan(
+        embd.embed_text(docs, dim=8, n=4), mode="formatted"
+    )
+
+
 def test_bucketed_join_colocates_without_shuffle(spark, tmp_path):
     """The 100 TB co-location technique (SURVEY.md §4.3): two tables
     bucketed + sorted on the join key join with ZERO Exchange — at scale
