@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_single_pass": lambda s, sf: rel.argmax_single_pass(_utc(s), sf),
         "time_bucket_revenue": lambda s, sf: rel.time_bucket_revenue(_utc(s), sf),
         "hash_sample": lambda s, sf: rel.hash_sample(_utc(s), sf),
+        "median_order_value": lambda s, sf: rel.median_order_value(_utc(s), sf),
         "stratified_sample": lambda s, sf: rel.stratified_sample(_utc(s), sf),
         # batch twin of the stream-stream watermarked interval join
         # (streaming/joins.py; watermarks are no-ops in batch, so the same
@@ -392,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": docs_q(tx.lang_id),
         "doc_fingerprint": docs_q(tx.fingerprint),
         "repetition_ratio": docs_q(tx.repetition_ratio),
+        "tfidf_top_terms": docs_q(tx.tfidf_top_terms),
         # dedup — exact + jaccard DuckDB-verified; hash-sketch ops rows-only
         "exact_dedup": docs_q(dd.exact_dedup),
         "ngram_jaccard_dups": docs_q(lambda df: dd.ngram_jaccard_pairs(df, threshold=0.2)),
@@ -1003,7 +1005,41 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cosine
             FROM asg a JOIN asg b ON a.cid = b.cid AND a.doc_id < b.doc_id
             WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.95
-        """
+        """,
+        "median_order_value": """
+            WITH c AS (SELECT o_custkey, o_orderkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                       FROM orders),
+            r AS (SELECT o_custkey, c,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY c, o_orderkey) AS rn,
+                         count(*) OVER (PARTITION BY o_custkey) AS n
+                  FROM c),
+            mid AS (SELECT * FROM r
+                    WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                       OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT))
+            SELECT o_custkey,
+                   sum(c) / (count(*) * 100.0) AS median_total,
+                   any_value(n) AS n_orders
+            FROM mid GROUP BY o_custkey
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            sc AS (SELECT t.doc_id, t.token, t.tf,
+                          CAST(t.tf * (nd.n_docs + 1) AS DOUBLE)
+                            / CAST(d.df + 1 AS DOUBLE) AS score
+                   FROM tf t JOIN dfreq d USING (token) CROSS JOIN nd),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC, token) AS rnk
+                   FROM sc)
+            SELECT doc_id, token, CAST(tf AS INTEGER) AS tf,
+                   round(score, 6) AS score, rnk
+            FROM rk WHERE rnk <= 5
+        """,
         # omitted on purpose (rows-only driver check; pinned in tests/):
         #   extract_metrics / srt_render — per-payload decode metrics and
         #     rendered SubRip bytes of the binary path (the cue VALUES are

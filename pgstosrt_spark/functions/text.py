@@ -18,6 +18,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "repetition_ratio",
+    "tfidf_top_terms",
     "STOPWORDS",
 ]
 
@@ -130,4 +131,54 @@ def repetition_ratio(df: DataFrame, col: str = "text") -> DataFrame:
             F.coalesce(F.max("cnt") / F.greatest(F.sum("cnt"), F.lit(1)), F.lit(0.0)),
             6,
         ).alias("top_bigram_frac"),
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, col: str = "text") -> DataFrame:
+    """Per-doc top-k terms by tf-idf: (doc_id, token, tf, score, rnk).
+
+    idf is the RATIONAL variant (N + 1) / (df + 1) — deliberately ln-free:
+    a log makes the score depend on libm's last-ulp behavior and so can
+    flip a near-tie rank between engines; tf * (N+1) is an exact integer
+    and the single division is IEEE-identical everywhere, which is what
+    lets the DuckDB twin check values AND ranks exactly.  (Swap in
+    log((N+1)/(df+1)) + 1 when absolute score scale matters more than
+    cross-engine determinism — ranks are monotone-identical either way
+    for fixed tf, and classic BM25-ish pipelines re-scale anyway.)
+
+    Scale shape: explode tokens -> (doc, token) count (map-side combined)
+    -> token-keyed df aggregate (vocab-sized, far smaller than the corpus)
+    joined back on token — left to AQE: broadcastable for bounded vocabs,
+    shuffle join for web-scale vocab (10^8+ distinct tokens at 10^12
+    docs, above any broadcast threshold) -> per-doc top-k window over the
+    doc's DISTINCT tokens only (bounded by doc length, never corpus-wide).
+    N (corpus doc count) rides in as a broadcast one-row aggregate, not a
+    driver collect, so the whole plan stays lazy/declarative.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", F.explode(tokens_col(col)).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * (F.col("n_docs") + 1)).cast("double")
+            / (F.col("df") + 1).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("int").alias("tf"),
+            F.round("score", 6).alias("score"),
+            "rnk",
+        )
     )

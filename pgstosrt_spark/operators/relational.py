@@ -531,3 +531,41 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
         # decimal sum: exact regardless of partition order (oracle parity)
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
     )
+
+
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (o_custkey -> median o_totalprice).
+
+    Implemented as rank-the-middle rather than percentile()/median()
+    builtins: engines disagree on interpolation corner cases, so both
+    sides compute the SAME definition — sort each group by (value, key),
+    take the one or two middle elements, and average them in INTEGER
+    CENTS (prices are 2dp; summing cents is exact, and the final double
+    division is the identical IEEE operation in both engines).  The
+    output is deliberately NOT round()ed: an even-count midpoint lands on
+    x.xx5, where Spark's round (decimal HALF_UP on the shortest string)
+    and DuckDB's (on the binary double) disagree by a cent — the raw
+    division is bit-identical instead.  Shape: one window over
+    the group (partition-local sort, no corpus-wide ordering) + one
+    aggregate; groups are customer-sized, so no partition ever holds more
+    than one customer's orders at any scale.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("c", "o_orderkey")
+    ranked = o.select("o_custkey", "o_orderkey", cents.alias("c")).select(
+        "o_custkey",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("o_custkey").agg(
+        (F.sum("c") / (F.count("*") * 100.0)).alias("median_total"),
+        F.first("n").alias("n_orders"),
+    )
