@@ -387,6 +387,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_attribution": _q_interval_join,
         "gap_fill_forward": lambda s, sf: rel.gap_fill_forward(_utc(s), sf),
         "moving_avg": lambda s, sf: rel.moving_avg(_utc(s), sf),
+        # multi-join benchmark shapes + skew/partitioning showcases (r5)
+        "shipping_priority": lambda s, sf: rel.shipping_priority(_utc(s), sf),
+        "local_supplier_volume": lambda s, sf: rel.local_supplier_volume(_utc(s), sf),
+        "salted_skew_agg": lambda s, sf: rel.salted_skew_agg(_utc(s), sf),
+        "grouping_sets_revenue": lambda s, sf: rel.grouping_sets_revenue(_utc(s), sf),
+        "percent_rank_orders": lambda s, sf: rel.percent_rank_orders(_utc(s), sf),
+        "price_histogram": lambda s, sf: rel.price_histogram(_utc(s), sf),
+        "distinct_users_daily": lambda s, sf: rel.distinct_users_daily(_utc(s), sf),
         # text analysis — DuckDB-verified
         "token_count": docs_q(tx.token_count),
         "quality_score": docs_q(tx.quality_score),
@@ -394,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": docs_q(tx.fingerprint),
         "repetition_ratio": docs_q(tx.repetition_ratio),
         "tfidf_top_terms": docs_q(tx.tfidf_top_terms),
+        # LLM training-sample chunking (overlapping token windows)
+        "doc_chunks": docs_q(tx.chunk_documents),
         # dedup — exact + jaccard DuckDB-verified; hash-sketch ops rows-only
         "exact_dedup": docs_q(dd.exact_dedup),
         "ngram_jaccard_dups": docs_q(lambda df: dd.ngram_jaccard_pairs(df, threshold=0.2)),
@@ -1022,6 +1032,92 @@ def oracle_sql() -> dict[str, str]:
                    sum(c) / (count(*) * 100.0) AS median_total,
                    any_value(n) AS n_orders
             FROM mid GROUP BY o_custkey
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15'
+              AND l_shipdate  > TIMESTAMP '1996-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "salted_skew_agg": """
+            SELECT event_type,
+                   CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "grouping_sets_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), (o_orderpriority))
+        """,
+        "percent_rank_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(o_totalprice, 2) AS total,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist()    OVER w AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+            QUALIFY pct_rank >= 0.9
+        """,
+        "price_histogram": """
+            WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders)
+            SELECT CAST(floor(cents / 2500000.0) AS BIGINT) AS bucket,
+                   count(*) AS n_orders,
+                   min(cents) / 100.0 AS min_total,
+                   max(cents) / 100.0 AS max_total
+            FROM c GROUP BY bucket
+        """,
+        "distinct_users_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "doc_chunks": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+            SELECT n.doc_id,
+                   CAST(u.start // 24 AS BIGINT) AS chunk_id,
+                   array_to_string(n.toks[u.start + 1 : u.start + 32], ' ')
+                       AS chunk_text,
+                   CAST(least(n.n, u.start + 32) - u.start AS BIGINT) AS n_tokens
+            FROM n, unnest(range(0, n.n, 24)) AS u(start)
         """,
         "tfidf_top_terms": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),

@@ -19,6 +19,7 @@ __all__ = [
     "fingerprint",
     "repetition_ratio",
     "tfidf_top_terms",
+    "chunk_documents",
     "STOPWORDS",
 ]
 
@@ -181,4 +182,44 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, col: str = "text") -> DataFrame:
             F.round("score", 6).alias("score"),
             "rnk",
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame, window: int = 32, stride: int = 24, col: str = "text"
+) -> DataFrame:
+    """Split each document into overlapping fixed-token-window training
+    chunks — the standard LLM pre-training sample cutter.
+
+    chunk i covers tokens [i*stride, i*stride + window); the last chunk
+    may be short; empty docs yield no chunks.  Everything is pure F.*
+    array math (tokens -> sequence of starts -> posexplode -> slice ->
+    array_join): narrow, whole-stage-codegen, no shuffle at all — the
+    output inherits the input partitioning, which is exactly what a
+    100 TB corpus cutter needs (chunking is embarrassingly parallel;
+    the only data movement is the write).
+    """
+    toks = tokens_col(col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    base = df.select(
+        "doc_id", toks.alias("_toks"),
+        F.when(F.size(toks) > 0, starts).otherwise(
+            F.array().cast("array<int>")
+        ).alias("_starts"),
+    )
+    exploded = base.select(
+        "doc_id",
+        "_toks",
+        F.posexplode("_starts").alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, window)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
     )

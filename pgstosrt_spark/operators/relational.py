@@ -569,3 +569,197 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("c") / (F.count("*") * 100.0)).alias("median_total"),
         F.first("n").alias("n_orders"),
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join: revenue of unshipped BUILDING-segment
+    orders as of a cutoff date, top 10.
+
+    Plan shape (the point of the query): both date filters and the
+    segment filter push into the parquet scans BEFORE either join; the
+    filtered customer side is small, so Catalyst broadcasts it (AQE
+    confirms at runtime); lineitem<->orders is the one real shuffle,
+    keyed on l_orderkey; the final top-10 is TakeOrderedAndProject —
+    per-partition heaps, no global sort exchange.  That plan holds at
+    100 TB: one wide shuffle, everything else narrow or broadcast.
+    Decimal revenue keeps the cross-engine value-hash exact; ties break
+    on (o_orderdate, l_orderkey) so LIMIT is deterministic.
+    """
+    cutoff = "1996-03-15"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join: revenue per nation where the customer
+    and supplier share a nation, ASIA region, one order-date year.
+
+    Join-order showcase: region->nation is a 2-row broadcast chain whose
+    keys fan onto supplier (broadcast — suppliers are 1% of customers in
+    TPC-H and pre-filtered to one region here); customer is NOT broadcast
+    (at 100 TB it is a fact-sized table), so the plan has exactly two
+    wide shuffles — lineitem<->orders on the order key, then the result
+    <->customer on the customer key — and the c_nationkey = s_nationkey
+    equality is a cheap post-join filter on already-present columns,
+    never a third fact-x-fact join.  AQE handles skew on both exchanges.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation — the standard hot-key escape hatch,
+    proven exact against a plain GROUP BY oracle.
+
+    ``events.event_type`` has ~5 distinct values over the whole corpus: a
+    naive groupBy funnels 100 TB into 5 reducers.  Phase 1 groups on
+    (event_type, pmod(hash(event_id), 32)) — 32-way fan-out per hot key,
+    partial sums combine map-side; phase 2 merges the 5x32 partials.
+    Decimal partials make the two-phase sum bit-identical to the
+    single-phase oracle (associativity), which is exactly what the
+    driver's value-hash certifies.  At scale, salt width tracks executor
+    count; the second shuffle moves only n_keys x salt rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    val = F.round(F.col("value"), 6).cast("decimal(28,6)")
+    partial = (
+        ev.groupBy(
+            "event_type", F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("_salt")
+        )
+        .agg(F.sum(val).alias("_s"), F.count("*").alias("_n"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_s").cast("double").alias("total_value"),
+        F.sum("_n").alias("n_events"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form of rollup/cube (§2.6
+    completeness): per-(status, priority) revenue plus independent
+    per-status and per-priority marginals in ONE pass.  Like rollup,
+    Spark expands the sets map-side and shuffles once; grouping_id
+    disambiguates subtotal NULLs from data NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows: percent_rank + cume_dist of each order's
+    total within its priority class.  Both are rank arithmetic over one
+    partition-local sort — same single exchange as any ranked window;
+    (rank-1)/(n-1) and peers/n are identical IEEE divisions in both
+    engines, so the hash check is exact.  Output thinned to the top
+    decile to keep the driver compare small."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return ranked.filter(F.col("pct_rank") >= 0.9)
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (width_bucket-style):
+    bucket = floor(total_cents / width).  Integer-cents bucketing keeps
+    the edge cases (a price exactly on a boundary) engine-independent —
+    no float floor ambiguity.  Plan: pure projection -> one partial-agg
+    shuffle on ~20 bucket keys."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    width = 25_000 * 100  # 25k-dollar buckets, in cents
+    return (
+        o.select(
+            (F.floor(cents / width)).cast("long").alias("bucket"),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.min("cents") / 100.0).alias("min_total"),
+            (F.max("cents") / 100.0).alias("max_total"),
+        )
+    )
+
+
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per day — the dedup-cardinality primitive.
+    Spark plans distinct-within-group as a two-level aggregate (expand ->
+    partial -> final): the wide shuffle carries (day, user_id) pairs
+    already combined map-side, never raw events.  approx_count_distinct
+    (HLL) is the sketch path when exactness can be traded; the exact form
+    is the oracle here."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
