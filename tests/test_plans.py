@@ -267,3 +267,44 @@ def test_hash_sampling_stable_under_repartitioning(spark):
         )
         assert again == base
     assert len(base) > 0
+
+
+def test_shipping_priority_plan_shape(spark):
+    """Q3 shape: filtered customer broadcasts, top-10 is a heap merge
+    (TakeOrderedAndProject), never a global sort exchange; no cartesian."""
+    plan = _plan(rel.shipping_priority(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # all three scans prune to the columns the query touches
+    read_schema = "".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "c_name" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_local_supplier_volume_no_cartesian(spark):
+    """Q5 shape: the c_nationkey = s_nationkey equality must ride existing
+    joins as a filter, never become a nested-loop/cartesian edge."""
+    plan = _plan(rel.local_supplier_volume(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_skew_agg_two_phase(spark):
+    """Salting must produce exactly two hash exchanges (salt fan-out then
+    merge), with map-side partial aggregation before the first."""
+    df = rel.salted_skew_agg(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    """The training-sample cutter must stay narrow: no exchange at all —
+    chunking inherits the scan partitioning."""
+    from pgstosrt_spark.functions.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode stays JVM-side, not a UDF
