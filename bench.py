@@ -410,6 +410,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "track_fanout",
             "rollup_revenue",
             "global_topk",
+            # r5: multi-join shapes + skew/partitioning showcases
+            "shipping_priority",
+            "local_supplier_volume",
+            "salted_skew_agg",
+            "doc_chunks",
         )
     ]
     deep = frozenset({"extract_fused", "extract_two_phase"})
