@@ -395,6 +395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_rank_orders": lambda s, sf: rel.percent_rank_orders(_utc(s), sf),
         "price_histogram": lambda s, sf: rel.price_histogram(_utc(s), sf),
         "distinct_users_daily": lambda s, sf: rel.distinct_users_daily(_utc(s), sf),
+        "dedup_keep_latest": lambda s, sf: rel.dedup_keep_latest(_utc(s), sf),
+        "relational_division": lambda s, sf: rel.relational_division(_utc(s), sf),
+        "correlated_avg_filter": lambda s, sf: rel.correlated_avg_filter(_utc(s), sf),
+        "salted_join_agg": lambda s, sf: rel.salted_join_agg(_utc(s), sf),
         # text analysis — DuckDB-verified
         "token_count": docs_q(tx.token_count),
         "quality_score": docs_q(tx.quality_score),
@@ -1108,6 +1112,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "dedup_keep_latest": """
+            SELECT user_id, event_id, ts, event_type,
+                   round(value, 6) AS value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "relational_division": """
+            WITH d AS (SELECT count(DISTINCT o_orderpriority) AS n_prio
+                       FROM orders)
+            SELECT o_custkey, count(*) AS n_orders
+            FROM orders, d
+            GROUP BY o_custkey, d.n_prio
+            HAVING count(DISTINCT o_orderpriority) = d.n_prio
+        """,
+        "correlated_avg_filter": """
+            WITH b AS (SELECT s_suppkey, s_nationkey,
+                              CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+                       FROM supplier),
+            n AS (SELECT s_nationkey, sum(bal_c) AS sum_c, count(*) AS n_s
+                  FROM b GROUP BY s_nationkey)
+            SELECT s_suppkey, b.s_nationkey, bal_c / 100.0 AS acctbal
+            FROM b JOIN n USING (s_nationkey)
+            WHERE bal_c * n_s > sum_c
+        """,
+        "salted_join_agg": """
+            WITH dim AS (SELECT DISTINCT event_type,
+                                length(event_type) AS weight
+                         FROM events)
+            SELECT e.event_type,
+                   CAST(sum(CAST(round(e.value, 6) AS DECIMAL(28,6))
+                            * d.weight) AS DOUBLE) AS weighted_value,
+                   count(*) AS n_events
+            FROM events e JOIN dim d USING (event_type)
+            GROUP BY e.event_type
         """,
         "doc_chunks": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

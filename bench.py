@@ -86,6 +86,18 @@ DEEP_EXTRA_PASSES = 2
 # BASELINE.md section.
 FOCUS_TARGET = int(os.environ.get("SPARK_GRAFT_BENCH_FOCUS_CLEAN", "3"))
 FOCUS_CAP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FOCUS_CAP", "900"))
+# Global wall budget (r5): under SUSTAINED interference the probe-gated
+# quiet-waits alone (up to 40s/sample) can push a full run past the
+# driver's patience, and a KILLED run writes no artifact at all — strictly
+# worse than an under_sampled one.  A monotonic deadline forces
+# finalization with whatever samples exist; validity records deadline_hit
+# so the audit trail shows the run was truncated, not complete.
+DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "2400"))
+_DEADLINE: list[float | None] = [None]
+
+
+def _past_deadline() -> bool:
+    return _DEADLINE[0] is not None and time.monotonic() > _DEADLINE[0]
 
 
 def _build_corpus_cache(spark, sf_dir: str, cache_dir: str) -> str:
@@ -189,7 +201,7 @@ def _wait_quiet(limit: float = 40.0) -> float:
     _seed_spin_ceiling()
     t0 = time.time()
     ratio = _probe()
-    while ratio < GATE and time.time() - t0 < limit:
+    while ratio < GATE and time.time() - t0 < limit and not _past_deadline():
         time.sleep(3.0)
         ratio = _probe()
     return ratio
@@ -247,9 +259,14 @@ def _measure_interleaved(
             for name, thunk in thunks
             if pass_no < _cap(name) and not _settled(samples[name], _target(name))
         ]
-        if not pending:
+        if not pending or _past_deadline():
             break
         for name, thunk in pending:
+            # deadline: never start a new sample past the wall budget, but
+            # a first-pass query with zero samples still gets ONE (a
+            # timings entry must exist for every query in the artifact)
+            if _past_deadline() and samples[name]:
+                continue
             pre = _wait_quiet()
             t0 = time.perf_counter()
             thunk()
@@ -333,12 +350,12 @@ def _focus_headliners(
     were interleaved and which were the headliner re-measure."""
     by_name = dict(thunks)
     t0 = time.time()
-    while time.time() - t0 < cap_sec:
+    while time.time() - t0 < cap_sec and not _past_deadline():
         pending = [n for n in names if not _settled(samples[n], target)]
         if not pending:
             break
         for n in pending:
-            if time.time() - t0 >= cap_sec:
+            if time.time() - t0 >= cap_sec or _past_deadline():
                 break
             pre = _wait_quiet()
             t1 = time.perf_counter()
@@ -368,6 +385,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from pgstosrt_spark.sources.tables import read_documents
 
     spark = get_spark("pgstosrt-bench", cpus=cpus)
+    _DEADLINE[0] = time.monotonic() + DEADLINE_SEC
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     corpus_path = _build_corpus_cache(spark, sf_dir, cache_dir)
     corpus_path = _replicate_corpus(
@@ -473,7 +491,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cpus": cpus,
         "headline_clean_best": headline_clean_best,
         "samples": samples,
-        "validity": validity,
+        "validity": {
+            **validity,
+            "deadline_sec": DEADLINE_SEC,
+            "deadline_hit": _past_deadline(),
+        },
         "skew": {
             "docs": n_skew_docs,
             "shapes": "1 doc x 1000 media spans + 8 docs x 1 multi-MB span "

@@ -763,3 +763,104 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style dedup: keep each user's LATEST event (row_number = 1 over
+    ts desc).  The canonical change-capture compaction — one hash exchange
+    on the key, partition-local sort, no global ordering; ties break on
+    event_id so the survivor is deterministic under any partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "ts", "event_type",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ('for all'): customers holding orders in EVERY
+    priority class.  Re-expressed as count-distinct-equals-domain-size —
+    one aggregate + a broadcast scalar, instead of the textbook double
+    NOT EXISTS (two anti-joins).  The domain count is a 1-row broadcast;
+    the only wide edge is the per-customer distinct aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    domain = o.select(
+        F.countDistinct("o_orderpriority").alias("n_prio")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_prio_cust"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        per_cust.join(F.broadcast(domain))
+        .filter(F.col("n_prio_cust") == F.col("n_prio"))
+        .select("o_custkey", "n_orders")
+    )
+
+
+def correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter: suppliers whose account balance beats
+    their NATION's average.  The correlated subquery de-correlates to a
+    group-average + broadcast join back (what Catalyst does to the SQL
+    form too); integer-cents comparison keeps the > predicate
+    engine-exact even when the average lands on a representable edge."""
+    s = _t(spark, sf_dir, "supplier")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    bal = s.select("s_suppkey", "s_nationkey", cents.alias("bal_c"))
+    # per-nation average in exact cents: avg = sum/n compared cross-
+    # multiplied (bal * n > sum) so no division rounding enters at all
+    nat = bal.groupBy("s_nationkey").agg(
+        F.sum("bal_c").alias("sum_c"), F.count("*").alias("n_s")
+    )
+    return (
+        bal.join(F.broadcast(nat), "s_nationkey")
+        .filter(F.col("bal_c") * F.col("n_s") > F.col("sum_c"))
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            (F.col("bal_c") / 100.0).alias("acctbal"),
+        )
+    )
+
+
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN — the hot-key fix for joins (the dual of
+    :func:`salted_skew_agg`): events join a 5-row event-type dimension,
+    so every dimension key is pathologically hot.  The fact side salts
+    with pmod(hash, 16); the dimension side EXPLODES 16 copies (dim x
+    salt is cheap — dims are small by definition); the join key becomes
+    (event_type, salt), spreading each hot key over 16 reducers.  Proven
+    exact against the unsalted join oracle.  At 100 TB: salt width
+    tracks executor count, and the same pattern handles any dim join
+    whose fact side skews."""
+    ev = _t(spark, sf_dir, "events")
+    n_salt = 16
+    # deterministic inline dimension: type -> weight (length of the name)
+    dim = (
+        ev.select("event_type").distinct()
+        .select("event_type", F.length("event_type").alias("weight"))
+    )
+    dim_salted = dim.select(
+        "event_type", "weight",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+    )
+    ev_salted = ev.select(
+        "event_type",
+        F.round(F.col("value"), 6).cast("decimal(28,6)").alias("val"),
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).alias("_salt"),
+    )
+    return (
+        ev_salted.join(dim_salted, ["event_type", "_salt"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("val") * F.col("weight")).cast("double").alias("weighted_value"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -125,3 +125,41 @@ def test_focus_headliners_respects_wall_cap(monkeypatch):
     # dirty probes forever -> loop must stop at the cap, not spin
     assert 1 <= len(samples["hl"]) <= 4
     assert not bench._settled([_s(10.0)], target=2)
+
+
+def test_global_deadline_stops_sampling_but_guarantees_one_sample(monkeypatch):
+    """r5: a killed bench run writes NO artifact — the global deadline must
+    instead stop new samples and finalize.  Queries that already hold a
+    sample are skipped past the deadline; a query with ZERO samples still
+    gets exactly one (every name needs a timings entry)."""
+    monkeypatch.setattr(bench, "_wait_quiet", lambda: 1.0)
+    monkeypatch.setattr(bench, "_probe", lambda: 1.0)
+    clock = [0.0]
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock[0])
+    monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock[0])
+    monkeypatch.setattr(bench, "_DEADLINE", [5.0])  # already nearly past
+
+    def q(dt):
+        def run():
+            clock[0] += dt
+        return run
+
+    thunks = [("a", q(10.0)), ("b", q(10.0))]
+    # first sample of "a" blows through the deadline; "b" must STILL get
+    # its one guaranteed sample, then everything stops
+    timings, samples, validity = bench._measure_interleaved(
+        thunks, min_clean=3, max_passes=10
+    )
+    assert len(samples["a"]) == 1 and len(samples["b"]) == 1
+    assert set(timings) == {"a", "b"}
+
+    # the focus loop must refuse to start new samples past the deadline
+    before = {k: list(v) for k, v in samples.items()}
+    bench._focus_headliners(samples, thunks, ["a"], target=5, cap_sec=1e9)
+    assert samples == before
+
+
+def test_deadline_unset_means_unbounded(monkeypatch):
+    monkeypatch.setattr(bench, "_DEADLINE", [None])
+    assert not bench._past_deadline()

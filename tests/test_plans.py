@@ -308,3 +308,30 @@ def test_doc_chunks_is_shuffle_free(spark):
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Generate" in plan  # posexplode stays JVM-side, not a UDF
+
+
+def test_salted_join_agg_no_broadcast_of_fact(spark):
+    """The salted dim join must shuffle/broadcast only the EXPLODED dim
+    (5 x 16 rows) — the fact side never replicates; and the final merge
+    is one more exchange at most."""
+    df = rel.salted_join_agg(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_keep_latest_single_exchange(spark):
+    """CDC keep-latest: exactly one hash exchange (the key partition);
+    the sort is partition-local."""
+    df = rel.dedup_keep_latest(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_relational_division_domain_is_broadcast(spark):
+    """The domain count (1 row) joins as a broadcast, never a shuffle."""
+    df = rel.relational_division(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
