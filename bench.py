@@ -259,12 +259,17 @@ def _measure_interleaved(
             for name, thunk in thunks
             if pass_no < _cap(name) and not _settled(samples[name], _target(name))
         ]
-        if not pending or _past_deadline():
+        if not pending:
+            break
+        # deadline: stop only once EVERY query holds at least one sample —
+        # a section that starts entirely past the deadline (e.g. skew after
+        # an exhausted main phase) must still produce a timings entry per
+        # query, or _finalize crashes on an empty sample list
+        if _past_deadline() and all(samples[n] for n, _ in thunks):
             break
         for name, thunk in pending:
-            # deadline: never start a new sample past the wall budget, but
-            # a first-pass query with zero samples still gets ONE (a
-            # timings entry must exist for every query in the artifact)
+            # never start a REPEAT sample past the wall budget; the first
+            # sample of each query is guaranteed regardless
             if _past_deadline() and samples[name]:
                 continue
             pre = _wait_quiet()
@@ -440,7 +445,18 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # focused re-measure: headliners keep sampling until >= FOCUS_TARGET
     # mutually-confirming clean samples each (or the wall cap) so the
     # driver artifact itself carries the evidence depth
-    _focus_headliners(samples, thunks, sorted(deep))
+    # cap the focus loop at the remaining global budget minus a reserve for
+    # the skew section (6 queries x 1 guaranteed sample + quiet-waits) so a
+    # noisy day degrades to thinner evidence everywhere, never to a section
+    # that only gets its crash-guard single samples
+    skew_reserve = 300.0
+    left = (_DEADLINE[0] - time.monotonic()) if _DEADLINE[0] else FOCUS_CAP_SEC
+    _focus_headliners(
+        samples,
+        thunks,
+        sorted(deep),
+        cap_sec=max(0.0, min(FOCUS_CAP_SEC, left - skew_reserve)),
+    )
     timings, validity = _finalize(samples, deep=deep)
     headline_clean_best = {n: _clean_best(samples[n]) for n in sorted(deep)}
 

@@ -163,3 +163,25 @@ def test_global_deadline_stops_sampling_but_guarantees_one_sample(monkeypatch):
 def test_deadline_unset_means_unbounded(monkeypatch):
     monkeypatch.setattr(bench, "_DEADLINE", [None])
     assert not bench._past_deadline()
+
+
+def test_section_started_entirely_past_deadline_still_samples_each_once(monkeypatch):
+    """Regression: the skew section runs AFTER the main passes — if those
+    exhausted the budget, _measure_interleaved used to break before any
+    sample existed and _finalize crashed on min() of an empty list."""
+    monkeypatch.setattr(bench, "_wait_quiet", lambda: 1.0)
+    monkeypatch.setattr(bench, "_probe", lambda: 1.0)
+    clock = [100.0]
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock[0])
+    monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock[0])
+    monkeypatch.setattr(bench, "_DEADLINE", [5.0])  # long past
+
+    def q():
+        clock[0] += 2.0
+
+    timings, samples, validity = bench._measure_interleaved(
+        [("x", q), ("y", q)], min_clean=2, max_passes=3
+    )
+    assert len(samples["x"]) == 1 and len(samples["y"]) == 1
+    assert timings["x"] == 2.0 and timings["y"] == 2.0
