@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": docs_q(tx.tfidf_top_terms),
         # LLM training-sample chunking (overlapping token windows)
         "doc_chunks": docs_q(tx.chunk_documents),
+        # tokenizer-training vocabulary build (global top-k tokens)
+        "vocab_top_tokens": docs_q(tx.vocab_top_tokens),
         # dedup — exact + jaccard DuckDB-verified; hash-sketch ops rows-only
         "exact_dedup": docs_q(dd.exact_dedup),
         "ngram_jaccard_dups": docs_q(lambda df: dd.ngram_jaccard_pairs(df, threshold=0.2)),
@@ -1112,6 +1114,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "vocab_top_tokens": f"""
+            WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+            counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+            top AS (SELECT token, n FROM counts
+                    ORDER BY n DESC, token LIMIT 1000)
+            SELECT token, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+                       AS rank
+            FROM top
         """,
         "dedup_keep_latest": """
             SELECT user_id, event_id, ts, event_type,

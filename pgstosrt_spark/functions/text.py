@@ -20,6 +20,7 @@ __all__ = [
     "repetition_ratio",
     "tfidf_top_terms",
     "chunk_documents",
+    "vocab_top_tokens",
     "STOPWORDS",
 ]
 
@@ -222,4 +223,36 @@ def chunk_documents(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def vocab_top_tokens(df: DataFrame, k: int = 1000, col: str = "text") -> DataFrame:
+    """Corpus vocabulary build — the tokenizer-training primitive: global
+    token counts, top-k by frequency (ties break on the token string so
+    the cut is deterministic).
+
+    Shape: explode -> hash aggregate (map-side partial combine collapses
+    each partition to its distinct tokens BEFORE the one shuffle) ->
+    TakeOrderedAndProject for the top-k (per-partition heaps, no global
+    sort).  At 100 TB the shuffle carries (token, partial_count) pairs —
+    bounded by vocabulary size per partition, not corpus size.  The rank
+    window is global but runs AFTER limit(k) — k rows, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(col)
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), "token")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), "token")
+            ),
+        )
     )
