@@ -237,6 +237,29 @@ def main() -> None:
     def tput(lv: int) -> float:
         return n_docs / min(samples[lv])
 
+    # Clean-pair efficiency: a RATIO needs both ends measured under
+    # comparable host conditions.  min-over-all is the right rule for a
+    # single query's record (interference only adds time, so the min is
+    # the tightest upper bound on the truth) — but that argument does NOT
+    # transfer to a quotient: a dirty-bracket minimum at one level against
+    # a clean minimum at the other biases the ratio in whichever direction
+    # the bursts happened to land.  So when every level of a pair has at
+    # least one run whose BOTH spin probes cleared the gate (0.94), the
+    # efficiency from those mutually-clean runs is the evidence-grade
+    # number; the min-over-all ratio is still reported for transparency.
+    CLEAN_GATE = 0.94
+
+    def clean_secs(lv: int) -> list[float]:
+        return [
+            s
+            for s, (pre, post) in zip(samples[lv], speeds[lv])
+            if pre >= CLEAN_GATE and post >= CLEAN_GATE
+        ]
+
+    def tput_clean(lv: int) -> float | None:
+        cs = clean_secs(lv)
+        return (n_docs / min(cs)) if cs else None
+
     rows = {
         lv: {
             "cpus": lv,
@@ -244,21 +267,40 @@ def main() -> None:
             "host_speed": speeds[lv],
             "best_sec": round(min(samples[lv]), 2),
             "docs_per_sec": round(tput(lv), 1),
+            "best_clean_sec": (
+                round(min(clean_secs(lv)), 2) if clean_secs(lv) else None
+            ),
+            "n_clean": len(clean_secs(lv)),
         }
         for lv in levels
     }
     effs = {
         f"{lo}->{hi}": round(tput(hi) / (4 * tput(lo)), 3) for lo, hi in pairs
     }
-    primary = effs["4->16"]
+    effs_clean = {
+        f"{lo}->{hi}": (
+            round(tput_clean(hi) / (4 * tput_clean(lo)), 3)
+            if tput_clean(lo) and tput_clean(hi)
+            else None
+        )
+        for lo, hi in pairs
+    }
+    primary = (
+        effs_clean["4->16"] if effs_clean["4->16"] is not None else effs["4->16"]
+    )
     report = {
         "sf": os.path.basename(os.path.normpath(args.sf_dir)),
         "docs": n_docs,
         "levels": rows,
         "efficiency": effs,
+        "efficiency_clean_pair": effs_clean,
         "hardware_ceiling_spin": ceiling,
         "workload_ceiling_multiproc": wl_ceiling,
         "primary": "4->16",
+        "primary_rule": (
+            "clean-pair when both levels hold a probe-clean run, else "
+            "min-over-all"
+        ),
         "scaling_efficiency": primary,
         "target": 0.8,
         "pass": primary >= 0.8,
@@ -271,7 +313,7 @@ def main() -> None:
         for lv in levels
     )
     eff_rows = "\n".join(
-        f"| {pair} | {effs[pair]} | {ceiling[pair]} | {wl_ceiling[pair]} | {round(effs[pair]/wl_ceiling[pair], 2)} |"
+        f"| {pair} | {effs[pair]} | {effs_clean[pair] if effs_clean[pair] is not None else 'n/a (no mutually-clean runs)'} | {ceiling[pair]} | {wl_ceiling[pair]} | {round(effs[pair]/wl_ceiling[pair], 2)} |"
         for pair in effs
     )
     # Preserve manually-curated sections (skew analyses, round records,
@@ -316,13 +358,19 @@ the truest bound for what this computation can scale to on this host
 |---|---|---|---|---|
 {level_rows}
 
-| pair | measured efficiency | spin ceiling | workload ceiling | measured / workload ceiling |
-|---|---|---|---|---|
+| pair | min-over-all efficiency | clean-pair efficiency | spin ceiling | workload ceiling | min-over-all / workload ceiling |
+|---|---|---|---|---|---|
 {eff_rows}
 
-**Primary scaling efficiency (4 -> 16 cores)** =
-throughput(16) / (4 x throughput(4)) = **{primary}**
-(target >= 0.8: {"PASS" if report["pass"] else "FAIL"})
+**Primary scaling efficiency (4 -> 16 cores)** = **{primary}**
+(target >= 0.8: {"PASS" if report["pass"] else "FAIL"}).
+Rule: a RATIO needs both ends measured under comparable host conditions —
+min-over-all is correct for a single query's record (interference only
+adds time) but not for a quotient, where a dirty-bracket minimum at one
+level against a clean minimum at the other biases the ratio either way.
+The primary number is therefore the CLEAN-PAIR efficiency (best run whose
+both spin probes cleared 0.94, at each level) whenever every level holds
+one; the min-over-all ratio stays in the table for transparency.
 
 The supplementary 8->32 pair is reported for transparency.  The ceilings
 are themselves point measurements on a shared host and can come out noisy
