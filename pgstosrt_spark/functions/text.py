@@ -21,6 +21,7 @@ __all__ = [
     "tfidf_top_terms",
     "chunk_documents",
     "vocab_top_tokens",
+    "training_set_chunks",
     "STOPWORDS",
 ]
 
@@ -256,3 +257,50 @@ def vocab_top_tokens(df: DataFrame, k: int = 1000, col: str = "text") -> DataFra
             ),
         )
     )
+
+
+def training_set_chunks(
+    df: DataFrame,
+    min_quality: float = 0.7,
+    lang: str = "en",
+    window: int = 32,
+    stride: int = 24,
+    col: str = "text",
+) -> DataFrame:
+    """The whole training-data story as ONE composed plan: quality filter
+    -> language filter -> exact dedup (keep min doc_id per fingerprint)
+    -> overlapping token-window chunks.
+
+    Built for minimal data movement: the quality and language predicates
+    are inlined into the scan projection (no self-join with a scored
+    side), dedup is a single window over the content fingerprint (the
+    only shuffle in the whole plan — and it moves post-filter survivors,
+    not the raw corpus), and chunking is narrow.  At 100 TB: one wide
+    exchange of the filtered survivors, everything else pipelined in one
+    pass over the scan.  Quality/fingerprint expressions are shared with
+    :func:`quality_score` / dedup's exact fingerprint so this composite
+    stays oracle-identical to its stages.
+    """
+    toks = tokens_col(col)
+    n_chars = F.length(F.col(col))
+    punct = F.length(F.regexp_replace(F.col(col), "[^.,:;!?]", ""))
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = _stopword_ratio(toks)
+    quality = F.round(
+        ((n_chars >= 50) & (n_chars <= 5000)).cast("double") * 0.4
+        + (stop_ratio >= 0.02).cast("double") * 0.3
+        + (punct_ratio < 0.10).cast("double") * 0.3,
+        2,
+    )
+    kept = df.filter(F.col("lang") == lang).filter(quality >= min_quality)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(col)), "\\s+", " "))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp")
+    canon = (
+        kept.select("doc_id", col, F.md5(norm).alias("_fp"))
+        .withColumn("_min", F.min("doc_id").over(w))
+        .filter(F.col("_min") == F.col("doc_id"))
+        .select("doc_id", col)
+    )
+    return chunk_documents(canon, window=window, stride=stride, col=col)

@@ -335,3 +335,19 @@ def test_relational_division_domain_is_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_training_set_chunks_one_exchange_pushed_filters(spark):
+    """The composed training-set pipeline (quality -> lang -> exact dedup
+    -> chunk) must be ONE plan with a single wide exchange (the dedup
+    fingerprint window) and the quality/lang predicates inlined into the
+    parquet scan, pruned to (doc_id, text, lang)."""
+    from pgstosrt_spark.functions.text import training_set_chunks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = training_set_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Exchange hashpartitioning(_fp" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "lang" in scan and "= en" in scan  # lang filter reached the scan
+    assert "length(text" in scan  # quality predicate inlined, no self-join
