@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": lambda s, sf: rel.shipping_priority(_utc(s), sf),
         "local_supplier_volume": lambda s, sf: rel.local_supplier_volume(_utc(s), sf),
         "salted_skew_agg": lambda s, sf: rel.salted_skew_agg(_utc(s), sf),
+        # semi-structured extraction: JSON string column -> typed rollup
+        "json_props_rollup": lambda s, sf: rel.json_props_rollup(_utc(s), sf),
         "grouping_sets_revenue": lambda s, sf: rel.grouping_sets_revenue(_utc(s), sf),
         "percent_rank_orders": lambda s, sf: rel.percent_rank_orders(_utc(s), sf),
         "price_histogram": lambda s, sf: rel.price_histogram(_utc(s), sf),
@@ -410,6 +412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": docs_q(tx.chunk_documents),
         # tokenizer-training vocabulary build (global top-k tokens)
         "vocab_top_tokens": docs_q(tx.vocab_top_tokens),
+        # benchmark decontamination: broadcast the held-out shingle set,
+        # probe side never shuffles (functions/text.py:contamination_check)
+        "contamination_check": docs_q(tx.contamination_check),
+        # token-budget sequence packing, shard-parallel by source
+        "pack_sequences": docs_q(tx.pack_sequences),
         # the composed end-to-end training-set pipeline (quality -> lang ->
         # exact dedup -> chunk) as ONE plan with a single wide exchange
         "training_set_chunks": docs_q(tx.training_set_chunks),
@@ -1084,6 +1091,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
+        "json_props_rollup": """
+            WITH t AS (SELECT event_type,
+                              CAST(json_extract_string(props, '$.k') AS INTEGER)
+                                  AS k
+                       FROM events)
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(k) AS n_with_k,
+                   count(*) - count(k) AS n_missing,
+                   round(avg(k), 6) AS avg_k,
+                   max(k) AS max_k
+            FROM t GROUP BY event_type
+        """,
         "grouping_sets_revenue": """
             SELECT o_orderstatus, o_orderpriority,
                    CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
@@ -1158,6 +1178,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(nn.n, u.start + 32) - u.start AS BIGINT)
                        AS n_tokens
             FROM nn, unnest(range(0, nn.n, 24)) AS u(start)
+        """,
+        "contamination_check": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, greatest(len(toks) - 1, 1)),
+                              i -> toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2])) AS shs
+                   FROM t),
+            ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+            probe AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0)
+            SELECT p.doc_id,
+                   count(*) AS n_shingles,
+                   count(b.s) AS n_hits,
+                   round(count(b.s) / count(*), 6) AS contamination
+            FROM probe p LEFT JOIN bench b ON p.s = b.s
+            GROUP BY p.doc_id
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT source, doc_id,
+                              CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            p AS (SELECT source, doc_id, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS prefix
+                  FROM t)
+            SELECT source, doc_id, n_tokens,
+                   CAST(floor(prefix / 256) AS BIGINT) AS pack_id
+            FROM p
         """,
         "vocab_top_tokens": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),

@@ -20,6 +20,8 @@ __all__ = [
     "repetition_ratio",
     "tfidf_top_terms",
     "chunk_documents",
+    "contamination_check",
+    "pack_sequences",
     "vocab_top_tokens",
     "training_set_chunks",
     "STOPWORDS",
@@ -224,6 +226,107 @@ def chunk_documents(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def contamination_check(
+    df: DataFrame, n: int = 3, modulus: int = 97, col: str = "text"
+) -> DataFrame:
+    """Benchmark decontamination — the eval-leak gate every training-data
+    pipeline needs: for each corpus document, the fraction of its distinct
+    word ``n``-gram shingles that also appear in a held-out benchmark
+    slice (here the deterministic ``doc_id % modulus == 0`` slice, a
+    stand-in for the real eval set a production run would broadcast in).
+
+    Output: (doc_id, n_shingles, n_hits, contamination) for every
+    non-benchmark doc with >= n tokens; ``contamination`` in [0, 1] is
+    the filter signal (drop or flag above a threshold).
+
+    Physical shape: shingles are built JVM-side (transform over a
+    sequence of slice starts — no UDF), de-duplicated per doc with
+    array_distinct BEFORE the explode so multiplicity never inflates the
+    ratio, then LEFT-joined against the distinct benchmark shingle set.
+    The benchmark side is tiny by construction (1/modulus of the corpus,
+    and a real eval suite is a few MB), so it is broadcast: the probe
+    side NEVER shuffles — the only exchange in the plan is the final
+    per-doc count aggregation, and map-side partial combine collapses
+    each doc's shingles before it.  At 100 TB that is one narrow pass
+    over the corpus plus a broadcast hash join, which is the only shape
+    that survives; a shuffle join on shingle text would move the whole
+    shingled corpus.
+    """
+    toks = tokens_col(col)
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i, n)
+            ),
+        )
+    )
+    ex = df.select(
+        "doc_id", F.explode(shingles).alias("s")
+    )
+    bench = (
+        ex.filter(F.col("doc_id") % modulus == 0)
+        .select("s")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = ex.filter(F.col("doc_id") % modulus != 0)
+    joined = probe.join(F.broadcast(bench), "s", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_hits"),
+        F.round(
+            F.count("_hit") / F.count("*"), 6
+        ).alias("contamination"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, budget: int = 256, col: str = "text"
+) -> DataFrame:
+    """Token-budget sequence packing — assign documents to fixed-budget
+    training packs (the pre-batching step that turns a corpus into
+    ~budget-token concatenation groups for an LLM data loader).
+
+    Contiguous first-fit within each ``source`` shard in doc_id order:
+    pack_id = floor(exclusive-prefix-sum(n_tokens) / budget), so a pack
+    closes once the running total crosses the budget (the doc that
+    crosses it stays in the pack — standard greedy concat-and-cut
+    semantics; oversized docs occupy packs alone).  Deterministic and
+    order-stable, so re-runs produce identical packs.
+
+    Scale note: packing is inherently sequential *within* a shard — the
+    prefix sum is the whole semantics — so the parallel unit must be the
+    shard, never the corpus.  Partitioning by ``source`` (in production:
+    by input file / Iceberg partition) makes each shard's running sum an
+    independent window; the plan is ONE hash exchange on source plus an
+    in-partition sort, and no shard's data ever crosses to another.  A
+    global pack order would serialize 100 TB through one task — that
+    shape is deliberately not offered.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(col)
+    base = df.select(
+        "source", "doc_id", F.size(toks).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(prefix / budget).alias("pack_id"),
     )
 
 

@@ -864,3 +864,34 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of a JSON
+    string column and aggregate on it — the schema-on-read step every
+    event pipeline runs before anything relational can happen.
+
+    ``events.props`` carries a JSON object; ``get_json_object`` extracts
+    ``$.k`` JVM-side (Jackson path evaluation inside whole-stage codegen
+    — no Python, no full JSON parse into a map), cast to int, then one
+    hash aggregate per event_type.  Malformed/missing keys become NULL
+    and are excluded from avg/max but counted in n_missing, so dirty
+    data is surfaced, not silently dropped.  At 100 TB: extraction is
+    narrow (pipelined into the scan), the single shuffle carries only
+    (event_type, partials); with columnar sources prefer a proper
+    struct column so pruning skips the string entirely — this operator
+    is the fallback for the JSON-string reality of raw event feeds.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            (F.count("*") - F.count("k")).alias("n_missing"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -619,3 +619,58 @@ def test_simhash_hot_bucket_cap_chains(spark):
     labels = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
     assert all(labels[i] == 0 for i in range(40))
     assert labels[100] == 100
+
+
+def test_contamination_check_planted_leak(spark):
+    """A doc copying a benchmark doc's text verbatim scores 1.0; an
+    unrelated doc scores 0.0; benchmark docs themselves are excluded."""
+    from pgstosrt_spark.functions.text import contamination_check
+
+    rows = [
+        # doc_id 0 -> benchmark slice (0 % 97 == 0)
+        (0, "alpha beta gamma delta epsilon zeta"),
+        # verbatim copy of the benchmark doc -> every shingle hits
+        (1, "alpha beta gamma delta epsilon zeta"),
+        # unrelated -> zero hits
+        (2, "one two three four five six seven"),
+        # half-overlap: shares the 4-token prefix -> 2 of its shingles hit
+        (3, "alpha beta gamma delta mango papaya"),
+        # too short for a 3-gram -> excluded entirely
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in contamination_check(df).collect()
+    }
+    assert set(got) == {1, 2, 3}  # 0 is benchmark, 4 too short
+    assert got[1]["contamination"] == 1.0
+    assert got[2]["contamination"] == 0.0
+    assert got[3]["n_shingles"] == 4 and got[3]["n_hits"] == 2
+    assert got[3]["contamination"] == 0.5
+
+
+def test_pack_sequences_budget_semantics(spark):
+    """Greedy concat-and-cut: a pack closes once the running total
+    crosses the budget; the crossing doc stays; oversized docs get a
+    pack alone; shards (sources) pack independently."""
+    from pgstosrt_spark.functions.text import pack_sequences
+
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))
+    rows = [
+        ("a", 1, mk(100)),
+        ("a", 2, mk(100)),
+        ("a", 3, mk(100)),   # prefix 200 < 256 -> still pack 0 (crosses)
+        ("a", 4, mk(10)),    # prefix 300 -> pack 1
+        ("a", 5, mk(900)),   # oversized -> its own pack (prefix 310 -> 1?)
+        ("b", 6, mk(50)),    # new shard -> pack 0
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {r["doc_id"]: r["pack_id"] for r in pack_sequences(df, budget=256).collect()}
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0
+    assert got[4] == 1
+    # doc 5: exclusive prefix 310 -> floor(310/256) = 1; it shares pack 1's
+    # id but the NEXT doc would land at floor(1210/256)=4 -- oversized docs
+    # push the counter forward, never merge into a later pack
+    assert got[5] == 1
+    assert got[6] == 0  # shard b restarts

@@ -351,3 +351,46 @@ def test_training_set_chunks_one_exchange_pushed_filters(spark):
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "lang" in scan and "= en" in scan  # lang filter reached the scan
     assert "length(text" in scan  # quality predicate inlined, no self-join
+
+
+def test_contamination_check_broadcasts_benchmark(spark):
+    """Decontamination: the benchmark shingle set is the broadcast side;
+    the probe corpus must never shuffle on shingle text — the only hash
+    exchange is the final per-doc count aggregation."""
+    from pgstosrt_spark.functions.text import contamination_check
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = contamination_check(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly ONE shingle-keyed exchange is allowed: the benchmark side's
+    # distinct (tiny by construction, combined map-side before it).  A
+    # second would mean the PROBE corpus is shuffling on shingle text —
+    # the corpus-wide shuffle this operator exists to avoid.
+    assert plan.count("Exchange hashpartitioning(s#") == 1, plan
+
+
+def test_pack_sequences_one_exchange_on_source(spark):
+    """Sequence packing: ONE hash exchange on the shard key (source) —
+    the prefix-sum window is partition-local after it."""
+    from pgstosrt_spark.functions.text import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(source" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_json_props_extraction_stays_in_codegen(spark):
+    """get_json_object runs JVM-side inside the scan stage: no Python
+    eval, one partial+final hash aggregate pair around a single
+    exchange."""
+    df = rel.json_props_rollup(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-side combine: HashAggregate on both sides of the one exchange
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
+    assert "HashAggregate" in plan[:first_exchange]
+    assert "HashAggregate" in plan[first_exchange:]
