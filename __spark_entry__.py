@@ -27,6 +27,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 _STOP = "('the','a','of','and','to','in','is','on','for','with')"
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# PII patterns — single source of truth in functions/text.py (the
+# Java/RE2-common regex subset, so both engines run the same automaton)
+from pgstosrt_spark.functions.text import PII_EMAIL_RE, PII_PHONE_RE  # noqa: E402
 
 
 # DuckDB twin of the FULL extraction pipeline (VERDICT r4 item 1): the
@@ -417,6 +420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": docs_q(tx.contamination_check),
         # token-budget sequence packing, shard-parallel by source
         "pack_sequences": docs_q(tx.pack_sequences),
+        # PII masking with per-doc audit counts (narrow, codegen regex)
+        "pii_scrub": docs_q(tx.pii_scrub),
+        # per-source "data card" rollup: one agg, algebraic partials
+        "dataset_manifest": docs_q(tx.dataset_manifest),
         # the composed end-to-end training-set pipeline (quality -> lang ->
         # exact dedup -> chunk) as ONE plan with a single wide exchange
         "training_set_chunks": docs_q(tx.training_set_chunks),
@@ -1210,6 +1217,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, n_tokens,
                    CAST(floor(prefix / 256) AS BIGINT) AS pack_id
             FROM p
+        """,
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   md5(regexp_replace(
+                       regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_PHONE_RE}', '<PHONE>', 'g')) AS masked_fp,
+                   CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}'))
+                        AS BIGINT) AS n_phones
+            FROM documents
+        """,
+        "dataset_manifest": f"""
+            WITH t AS (SELECT source, text, {_TOKS} AS toks FROM documents),
+            q AS (SELECT source,
+                         CAST(len(toks) AS BIGINT) AS nt,
+                         CAST(length(text) AS BIGINT) AS nc,
+                         round(
+                           CASE WHEN length(text) BETWEEN 50 AND 5000
+                                THEN CAST(0.4 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                         + CASE WHEN round(len(list_filter(toks, x -> x IN
+                                  {_STOP})) / greatest(len(toks), 1), 6) >= 0.02
+                                THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                         + CASE WHEN round(length(regexp_replace(text,
+                                  '[^.,:;!?]', '', 'g'))
+                                  / greatest(length(text), 1), 6) < 0.10
+                                THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END,
+                         2) AS quality
+                  FROM t)
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(nt) AS total_tokens,
+                   sum(nc) AS total_chars,
+                   round(CAST(sum(CAST(quality AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_quality
+            FROM q GROUP BY source
         """,
         "vocab_top_tokens": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),

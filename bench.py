@@ -438,6 +438,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "local_supplier_volume",
             "salted_skew_agg",
             "doc_chunks",
+            # r5b: decontamination broadcast-join shape
+            "contamination_check",
         )
     ]
     deep = frozenset({"extract_fused", "extract_two_phase"})

@@ -38,6 +38,7 @@ __all__ = [
     "read_events_stream",
     "windowed_event_counts",
     "session_window_counts",
+    "dedup_events_stream",
 ]
 
 EVENTS_SCHEMA = T.StructType(
@@ -133,4 +134,27 @@ def session_window_counts(
             "n_events",
             "total_value",
         )
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming ingestion dedup — drop redelivered events so an
+    at-least-once feed (Kafka replays, file-source re-lists, upstream
+    retries) becomes effectively-once downstream.
+
+    ``dropDuplicatesWithinWatermark`` keys state on ``event_id`` and
+    evicts each key once the watermark passes its event time + delay, so
+    state is bounded by the duplicate horizon (events/hour), never by
+    history — the property that lets this run forever.  A plain
+    ``dropDuplicates`` on a stream would grow state without bound; a
+    batch job would instead run :func:`DataFrame.dropDuplicates`, which
+    is the exact batch twin (pinned by
+    ``test_streaming_dedup_matches_batch``).  Emission is immediate on
+    first sight (stateful filter, not an aggregate), so dedup adds no
+    latency before downstream operators.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
     )

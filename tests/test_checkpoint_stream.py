@@ -691,3 +691,59 @@ def test_streaming_interval_join_out_of_order_replay(spark, tmp_path):
     assert got == batch, (
         f"missing={len(batch - got)} extra={len(got - batch)}"
     )
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingestion dedup: an event log with
+    redeliveries across micro-batches (same event_id, within the
+    duplicate horizon) emits each event exactly once; the emitted set
+    equals the batch dropDuplicates twin; state is keyed + evicted by
+    the watermark, not grown forever."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgstosrt_spark.streaming.windowed import (
+        dedup_events_stream,
+        read_events_stream,
+    )
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    pdf = ev.orderBy("ts", "event_id").toPandas().head(400)
+    t0 = 1_700_000_000
+    chunks = np.array_split(np.arange(len(pdf)), 4)
+    for i, chunk in enumerate(chunks):
+        part = pdf.iloc[chunk]
+        if i > 0:
+            # redeliver the tail of the PREVIOUS batch (at-least-once
+            # upstream): same event_ids, within the 1h horizon
+            part = __import__("pandas").concat(
+                [pdf.iloc[chunks[i - 1]].tail(20), part], ignore_index=True
+            )
+        f = str(src / f"part-{i:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            f,
+            coerce_timestamps="us",
+        )
+        os.utime(f, (t0 + i, t0 + i))
+
+    q = (
+        dedup_events_stream(read_events_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from dedup_stream").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)), "a redelivered event was emitted twice"
+    assert sorted(ids) == sorted(pdf["event_id"].tolist())
+    # values survive intact for a spot row
+    want = {r["event_id"]: r["value"] for r in got}
+    assert want[pdf["event_id"].iloc[0]] == pdf["value"].iloc[0]

@@ -674,3 +674,46 @@ def test_pack_sequences_budget_semantics(spark):
     # push the counter forward, never merge into a later pack
     assert got[5] == 1
     assert got[6] == 0  # shard b restarts
+
+
+def test_pii_scrub_masks_planted_pii(spark):
+    """Planted emails/phones are masked and counted; clean docs pass
+    through with zero counts and an unchanged-text fingerprint."""
+    import hashlib
+
+    from pgstosrt_spark.functions.text import pii_scrub
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c@d.org and 800-555-0199 911-2222-0000"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+    expect_clean = hashlib.md5(b"no pii here at all").hexdigest()
+    assert got[2]["masked_fp"] == expect_clean
+    assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 2
+    expect_masked = hashlib.md5(
+        b"contact <EMAIL> or <PHONE> today"
+    ).hexdigest()
+    assert got[1]["masked_fp"] == expect_masked
+
+
+def test_dataset_manifest_exact_partials(spark):
+    """Manifest totals are exact sums; the mean quality is the decimal
+    sum divided once (order-independent)."""
+    from pgstosrt_spark.functions.text import dataset_manifest
+
+    rows = [
+        ("a", 1, "the quick brown fox. " * 5),   # 105 chars, quality 1.0
+        ("a", 2, "x" * 6000),                     # too long, no stopwords
+        ("b", 3, "short"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {r["source"]: r for r in dataset_manifest(df).collect()}
+    assert got["a"]["n_docs"] == 2 and got["b"]["n_docs"] == 1
+    assert got["a"]["total_chars"] == 105 + 6000
+    assert got["a"]["total_tokens"] == 20 + 1
+    assert 0.0 <= got["a"]["avg_quality"] <= 1.0

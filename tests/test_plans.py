@@ -394,3 +394,29 @@ def test_json_props_extraction_stays_in_codegen(spark):
     assert first_exchange != -1
     assert "HashAggregate" in plan[:first_exchange]
     assert "HashAggregate" in plan[first_exchange:]
+
+
+def test_pii_scrub_is_narrow_codegen(spark):
+    """PII masking must be a pure narrow map: zero exchanges, zero
+    Python eval — it composes into any plan for free."""
+    from pgstosrt_spark.functions.text import pii_scrub
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dataset_manifest_single_agg_exchange(spark):
+    """One partial+final aggregate pair around a single exchange; scan
+    pruned to (source, text)."""
+    from pgstosrt_spark.functions.text import dataset_manifest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = dataset_manifest(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    first_exchange = plan.find("Exchange")
+    assert "HashAggregate" in plan[:first_exchange]
+    assert "HashAggregate" in plan[first_exchange:]
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "doc_id" not in scan.split("ReadSchema")[-1]
