@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_agg": lambda s, sf: rel.salted_skew_agg(_utc(s), sf),
         # semi-structured extraction: JSON string column -> typed rollup
         "json_props_rollup": lambda s, sf: rel.json_props_rollup(_utc(s), sf),
+        # FULL OUTER two-ledger reconciliation (join-type completeness)
+        "full_outer_reconcile": lambda s, sf: rel.full_outer_reconcile(_utc(s), sf),
+        # exact nearest-rank per-group quartiles, one window + one agg
+        "quartile_order_values": lambda s, sf: rel.quartile_order_values(_utc(s), sf),
         "grouping_sets_revenue": lambda s, sf: rel.grouping_sets_revenue(_utc(s), sf),
         "percent_rank_orders": lambda s, sf: rel.percent_rank_orders(_utc(s), sf),
         "price_histogram": lambda s, sf: rel.price_histogram(_utc(s), sf),
@@ -1097,6 +1101,51 @@ def oracle_sql() -> dict[str, str]:
                        AS total_value,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "full_outer_reconcile": """
+            WITH f AS (SELECT o_custkey,
+                              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS f_rev,
+                              count(*) AS f_orders
+                       FROM orders WHERE o_orderstatus = 'F'
+                       GROUP BY o_custkey),
+            o AS (SELECT o_custkey,
+                         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS o_rev,
+                         count(*) AS o_orders
+                  FROM orders WHERE o_orderstatus = 'O'
+                  GROUP BY o_custkey)
+            SELECT coalesce(f.o_custkey, o.o_custkey) AS o_custkey,
+                   CAST(coalesce(CAST(f.f_rev AS DECIMAL(28,2)),
+                                 CAST(0 AS DECIMAL(28,2))) AS DOUBLE)
+                       AS f_revenue,
+                   coalesce(f.f_orders, 0) AS f_orders,
+                   CAST(coalesce(CAST(o.o_rev AS DECIMAL(28,2)),
+                                 CAST(0 AS DECIMAL(28,2))) AS DOUBLE)
+                       AS o_revenue,
+                   coalesce(o.o_orders, 0) AS o_orders,
+                   CASE WHEN f.f_rev IS NOT NULL AND o.o_rev IS NOT NULL
+                        THEN 'both'
+                        WHEN f.f_rev IS NOT NULL THEN 'f_only'
+                        ELSE 'o_only' END AS status
+            FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
+        """,
+        "quartile_order_values": """
+            WITH c AS (SELECT o_custkey, o_orderkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                       FROM orders),
+            r AS (SELECT o_custkey, c,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY c, o_orderkey) AS rn,
+                         count(*) OVER (PARTITION BY o_custkey) AS n
+                  FROM c)
+            SELECT o_custkey,
+                   max(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 1
+                            THEN c END) / 100.0 AS p25,
+                   max(CASE WHEN rn = CAST(floor((n-1) * 0.50) AS BIGINT) + 1
+                            THEN c END) / 100.0 AS p50,
+                   max(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 1
+                            THEN c END) / 100.0 AS p75,
+                   CAST(min(n) AS BIGINT) AS n_orders
+            FROM r GROUP BY o_custkey
         """,
         "json_props_rollup": """
             WITH t AS (SELECT event_type,

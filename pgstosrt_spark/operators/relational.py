@@ -895,3 +895,89 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the two-ledger reconciliation shape (§2.6 join
+    completeness): per-customer revenue from finished ('F') orders
+    against open ('O') orders, keeping customers that appear in either
+    ledger and labelling each row both/f_only/o_only.
+
+    Both sides are pre-aggregated BEFORE the join (map-side combine →
+    one exchange each), so the full-outer joins two customer-sized
+    aggregates, never raw orders — at 100 TB the join input is bounded
+    by |customers|, not |orders|.  The two aggregates and the join all
+    hash-partition on the same key, so AQE plans the join without a
+    third exchange.  Decimal sums; missing sides coalesce to exact 0.
+    """
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def side(status: str, tag: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(price).alias(f"{tag}_rev"),
+                F.count("*").alias(f"{tag}_orders"),
+            )
+        )
+
+    f, op = side("F", "f"), side("O", "o")
+    zero = F.lit(0).cast("decimal(28,2)")
+    return (
+        f.join(op, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce(F.col("f_rev").cast("decimal(28,2)"), zero)
+            .cast("double")
+            .alias("f_revenue"),
+            F.coalesce("f_orders", F.lit(0)).alias("f_orders"),
+            F.coalesce(F.col("o_rev").cast("decimal(28,2)"), zero)
+            .cast("double")
+            .alias("o_revenue"),
+            F.coalesce("o_orders", F.lit(0)).alias("o_orders"),
+            F.when(F.col("f_rev").isNotNull() & F.col("o_rev").isNotNull(), "both")
+            .when(F.col("f_rev").isNotNull(), "f_only")
+            .otherwise("o_only")
+            .alias("status"),
+        )
+    )
+
+
+def quartile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles (p25/p50/p75 of o_totalprice per
+    customer) by NEAREST-RANK (type-1): rank = floor((n-1)*p) + 1 on the
+    (value, key)-sorted group — a deterministic order statistic, no
+    interpolation, so engines cannot disagree on corner cases (the same
+    reasoning as :func:`median_order_value`, which keeps the two-middle
+    average for the p50 tradition; this query picks actual data points).
+
+    (n-1)*p is exact in binary for p ∈ {0.25, 0.5, 0.75} (dyadic
+    rationals), so the rank arithmetic is bit-identical across engines.
+    Shape: ONE window (partition-local sort within each customer) + one
+    conditional aggregate — no second shuffle, no self-join; group size
+    bounds the sort, so the plan survives any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("c", "o_orderkey")
+    ranked = o.select("o_custkey", "o_orderkey", cents.alias("c")).select(
+        "o_custkey",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n"),
+    )
+
+    def at(p: float) -> F.Column:
+        r = F.floor((F.col("n") - 1) * F.lit(p)) + 1
+        return F.max(F.when(F.col("rn") == r, F.col("c"))) / 100.0
+
+    return ranked.groupBy("o_custkey").agg(
+        at(0.25).alias("p25"),
+        at(0.50).alias("p50"),
+        at(0.75).alias("p75"),
+        F.first("n").alias("n_orders"),
+    )

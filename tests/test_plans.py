@@ -420,3 +420,24 @@ def test_dataset_manifest_single_agg_exchange(spark):
     assert "HashAggregate" in plan[first_exchange:]
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "doc_id" not in scan.split("ReadSchema")[-1]
+
+
+def test_full_outer_joins_aggregates_not_rows(spark):
+    """The full-outer reconciliation joins two PRE-AGGREGATED sides:
+    both HashAggregates must sit below the join, and no broadcast (full
+    outer cannot broadcast) or cartesian appears."""
+    df = rel.full_outer_reconcile(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    join_at = plan.find("Join FullOuter") if "Join FullOuter" in plan else plan.find("FullOuter")
+    assert plan[join_at:].count("HashAggregate") >= 2  # both sides aggregated below
+
+
+def test_quartiles_one_window_one_agg(spark):
+    """Nearest-rank quartiles: one partition-local window sort + one
+    aggregate — no second shuffle beyond the group key, no self-join."""
+    df = rel.quartile_order_values(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
