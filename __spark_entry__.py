@@ -400,6 +400,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_reconcile": lambda s, sf: rel.full_outer_reconcile(_utc(s), sf),
         # exact nearest-rank per-group quartiles, one window + one agg
         "quartile_order_values": lambda s, sf: rel.quartile_order_values(_utc(s), sf),
+        # growth accounting: first-seen rollup + calendar-bounded cumsum
+        "user_growth_accounting": lambda s, sf: rel.user_growth_accounting(_utc(s), sf),
+        # cohort retention triangle (users, not events)
+        "cohort_retention": lambda s, sf: rel.cohort_retention(_utc(s), sf),
         "grouping_sets_revenue": lambda s, sf: rel.grouping_sets_revenue(_utc(s), sf),
         "percent_rank_orders": lambda s, sf: rel.percent_rank_orders(_utc(s), sf),
         "price_histogram": lambda s, sf: rel.price_histogram(_utc(s), sf),
@@ -1146,6 +1150,31 @@ def oracle_sql() -> dict[str, str]:
                             THEN c END) / 100.0 AS p75,
                    CAST(min(n) AS BIGINT) AS n_orders
             FROM r GROUP BY o_custkey
+        """,
+        "user_growth_accounting": """
+            WITH fs AS (SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS first_day
+                        FROM events GROUP BY user_id),
+            daily AS (SELECT first_day, count(*) AS new_users
+                      FROM fs GROUP BY first_day)
+            SELECT first_day, new_users,
+                   CAST(sum(new_users) OVER (
+                            ORDER BY first_day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+                       AS cumulative_users
+            FROM daily
+        """,
+        "cohort_retention": """
+            WITH c AS (SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS cohort_day
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+                  FROM events)
+            SELECT c.cohort_day,
+                   CAST(date_diff('day', CAST(c.cohort_day AS DATE),
+                                  CAST(a.day AS DATE)) AS BIGINT) AS day_offset,
+                   count(*) AS n_users
+            FROM a JOIN c ON a.user_id = c.user_id
+            GROUP BY 1, 2
         """,
         "json_props_rollup": """
             WITH t AS (SELECT event_type,

@@ -981,3 +981,65 @@ def quartile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.75).alias("p75"),
         F.first("n").alias("n_orders"),
     )
+
+
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per-day NEW users (first ever seen that day)
+    and the running cumulative user count.
+
+    First-seen detection is a min(ts) per user (one shuffle, map-side
+    combined), rolled up to per-day new-user counts (second, tiny
+    shuffle on ~days keys), then a running sum windowed over the day
+    axis.  The final window is ordered over the DAY domain — thousands
+    of rows at any corpus scale, so the single-partition cumulative sum
+    is bounded by the calendar, never by the event count (the same
+    bounded-domain argument as vocab_top_tokens' post-limit rank).
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day")
+    )
+    daily = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "first_day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day
+    (cohort), counted as active at each whole-day offset since their
+    cohort day — the standard D1/D7/D30 retention input.
+
+    Two shuffles total: min(ts) per user (cohort assignment), then one
+    aggregate on (cohort_day, day_offset) after a broadcast-friendly
+    join of per-user cohorts back onto distinct (user, activity-day)
+    pairs.  The join side carries one row per user — at 100 TB scale
+    that is the dimension table of this query, and it hash-joins on the
+    same user_id partitioning the first aggregate produced, so AQE
+    plans no extra exchange for it.  Distinct (user, day) BEFORE the
+    count keeps multiplicity out (retention counts users, not events).
+    """
+    ev = _t(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("day"), F.to_date("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
