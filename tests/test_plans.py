@@ -441,3 +441,24 @@ def test_quartiles_one_window_one_agg(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_growth_accounting_calendar_bounded_window(spark):
+    """The cumulative window runs over per-DAY rows (calendar-bounded):
+    it must sit above the day aggregate, and the raw event scan feeds
+    only the user-level min(ts) aggregate."""
+    df = rel.user_growth_accounting(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the global window input is the daily aggregate, not events: a
+    # single-partition exchange over day rows is fine, over events is not
+    win_at = plan.find("Window")
+    assert "HashAggregate" in plan[win_at:]
+
+
+def test_cohort_retention_no_cartesian_two_aggs(spark):
+    df = rel.cohort_retention(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # cohort agg + distinct + final (partial+final each)
