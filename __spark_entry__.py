@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_growth_accounting": lambda s, sf: rel.user_growth_accounting(_utc(s), sf),
         # cohort retention triangle (users, not events)
         "cohort_retention": lambda s, sf: rel.cohort_retention(_utc(s), sf),
+        # RANGE window frame: trailing 30 event-time days per customer
+        "trailing_window_revenue": lambda s, sf: rel.trailing_window_revenue(_utc(s), sf),
         "grouping_sets_revenue": lambda s, sf: rel.grouping_sets_revenue(_utc(s), sf),
         "percent_rank_orders": lambda s, sf: rel.percent_rank_orders(_utc(s), sf),
         "price_histogram": lambda s, sf: rel.price_histogram(_utc(s), sf),
@@ -1152,6 +1154,24 @@ def oracle_sql() -> dict[str, str]:
                             THEN c END) / 100.0 AS p75,
                    CAST(min(n) AS BIGINT) AS n_orders
             FROM r GROUP BY o_custkey
+        """,
+        "trailing_window_revenue": """
+            WITH b AS (SELECT o_custkey, o_orderkey,
+                              date_diff('day', DATE '1992-01-01',
+                                        CAST(o_orderdate AS DATE)) AS day_ord,
+                              CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                       FROM orders)
+            SELECT o_custkey, o_orderkey,
+                   CAST(day_ord AS BIGINT) AS day_ord,
+                   CAST(sum(p) OVER (
+                            PARTITION BY o_custkey ORDER BY day_ord
+                            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS trailing_30d_revenue,
+                   count(*) OVER (
+                       PARTITION BY o_custkey ORDER BY day_ord
+                       RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                       AS n_orders_30d
+            FROM b
         """,
         "user_growth_accounting": """
             WITH fs AS (SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS first_day

@@ -1043,3 +1043,40 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (§2.6 frame-type completeness — every other
+    window here uses ROWS): for each order, the customer's revenue over
+    the trailing 30 days *of event time* (days 29-back through today),
+    regardless of how many orders fall inside — the frame is defined by
+    the ORDER-BY VALUE range, which ROWS frames cannot express when
+    orders per day vary.
+
+    The ordering key is the epoch-day integer (exact, engine-neutral);
+    revenue sums are decimal so frame accumulation order cannot drift
+    the value.  One hash exchange on the customer key; the range scan
+    within each partition is the sorted-window sweep, O(group) with two
+    pointers — no self-join (the naive equivalent is an inequality
+    self-join that explodes quadratically on active customers).
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day_ord")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = o.select(
+        "o_custkey", "o_orderkey", day, price.alias("p")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_ord")
+        .rangeBetween(-29, 0)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("day_ord").cast("long").alias("day_ord"),
+        F.sum("p").over(w).cast("double").alias("trailing_30d_revenue"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )

@@ -476,3 +476,14 @@ def test_training_set_packed_two_exchanges(spark):
     assert "Exchange hashpartitioning(_fp" in plan
     assert "Exchange hashpartitioning(shard" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_trailing_range_frame_no_self_join(spark):
+    """The RANGE frame must be a window sweep, not the quadratic
+    inequality self-join it replaces: one hash exchange on the customer
+    key, a partition-local sort, zero joins."""
+    df = rel.trailing_window_revenue(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan.upper()
