@@ -717,3 +717,77 @@ def test_dataset_manifest_exact_partials(spark):
     assert got["a"]["total_chars"] == 105 + 6000
     assert got["a"]["total_tokens"] == 20 + 1
     assert 0.0 <= got["a"]["avg_quality"] <= 1.0
+
+
+def test_pack_sequences_property_matches_python_fold(spark):
+    """Property: for random token counts, pack assignment equals the
+    reference Python concat-and-cut fold, per shard, for several
+    budgets (the window formulation must BE the sequential semantics)."""
+    import random
+
+    rng = random.Random(20260818)
+    rows = []
+    did = 0
+    for src in ("a", "b", "c"):
+        for _ in range(rng.randint(5, 40)):
+            did += 1
+            rows.append((src, did, " ".join(f"t{j}" for j in range(rng.randint(0, 300)))))
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+
+    from pgstosrt_spark.functions.text import pack_sequences
+
+    for budget in (64, 256, 1024):
+        got = {
+            r["doc_id"]: (r["pack_id"], r["n_tokens"])
+            for r in pack_sequences(df, budget=budget).collect()
+        }
+        # reference fold: exclusive prefix sum per source in doc_id order
+        by_src = {}
+        for src, d, text in sorted(rows, key=lambda x: (x[0], x[1])):
+            n = len([t for t in text.split() if t])
+            prefix = by_src.get(src, 0)
+            assert got[d] == (prefix // budget, n), (budget, d)
+            by_src[src] = prefix + n
+        # pack ids are nondecreasing within each shard's doc order
+        last = {}
+        for src, d, _ in sorted(rows, key=lambda x: (x[0], x[1])):
+            assert got[d][0] >= last.get(src, 0)
+            last[src] = got[d][0]
+
+
+def test_contamination_check_matches_python_reference(spark):
+    """Property: contamination ratios equal a direct Python set-overlap
+    computation on random word soup (including docs that straddle the
+    benchmark modulus)."""
+    import random
+    import re
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(0, 300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from pgstosrt_spark.functions.text import contamination_check
+
+    got = {r["doc_id"]: r for r in contamination_check(df, modulus=7).collect()}
+
+    def shingles(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    bench = set()
+    for i, t in rows:
+        if i % 7 == 0:
+            bench |= shingles(t)
+    for i, t in rows:
+        sh = shingles(t)
+        if i % 7 == 0 or not sh:
+            assert i not in got
+            continue
+        hits = len(sh & bench)
+        assert got[i]["n_shingles"] == len(sh)
+        assert got[i]["n_hits"] == hits
+        assert abs(got[i]["contamination"] - round(hits / len(sh), 6)) < 1e-12
