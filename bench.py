@@ -226,13 +226,22 @@ def _clean_samples(samples: list[dict]) -> list[dict]:
 
 
 def _settled(ss: list[dict], target: int) -> bool:
-    """A query is done sampling when it has >= target clean samples whose
-    spread is < SETTLE_SPREAD (mutually-confirming measurements)."""
+    """A query is done sampling when its ``target`` FASTEST clean samples
+    mutually confirm (spread < SETTLE_SPREAD).
+
+    The fastest-k rule, not all-clean: interference only adds time, so a
+    slower clean sample means the host was honestly slower in that
+    window, not that the fast measurements are unconfirmed — and a
+    spread over ALL clean samples can only grow, so one slow-but-clean
+    window would otherwise lock the query into sampling until the cap
+    (observed: 90 two_phase samples on 2026-08-19 with 4 clean ones
+    spanning 22% across a host-drift boundary, fastest three within
+    7%)."""
     clean = _clean_samples(ss)
     if len(clean) < target:
         return False
-    secs = [s["sec"] for s in clean]
-    return (max(secs) - min(secs)) / min(secs) < SETTLE_SPREAD
+    secs = sorted(s["sec"] for s in clean)[:target]
+    return (secs[-1] - secs[0]) / secs[0] < SETTLE_SPREAD
 
 
 def _measure_interleaved(
