@@ -406,6 +406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": lambda s, sf: rel.cohort_retention(_utc(s), sf),
         # RANGE window frame: trailing 30 event-time days per customer
         "trailing_window_revenue": lambda s, sf: rel.trailing_window_revenue(_utc(s), sf),
+        # UNPIVOT/melt — inverse of pivot_status, narrow Expand
+        "unpivot_status_counts": lambda s, sf: rel.unpivot_status_counts(_utc(s), sf),
+        # ordered view->click->purchase funnel, one pass + array HOFs
+        "funnel_conversion": lambda s, sf: rel.funnel_conversion(_utc(s), sf),
         "grouping_sets_revenue": lambda s, sf: rel.grouping_sets_revenue(_utc(s), sf),
         "percent_rank_orders": lambda s, sf: rel.percent_rank_orders(_utc(s), sf),
         "price_histogram": lambda s, sf: rel.price_histogram(_utc(s), sf),
@@ -1154,6 +1158,37 @@ def oracle_sql() -> dict[str, str]:
                             THEN c END) / 100.0 AS p75,
                    CAST(min(n) AS BIGINT) AS n_orders
             FROM r GROUP BY o_custkey
+        """,
+        "unpivot_status_counts": """
+            WITH w AS (SELECT o_custkey,
+                              sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f,
+                              sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o,
+                              sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p
+                       FROM orders GROUP BY o_custkey)
+            SELECT o_custkey, 'F' AS status, CAST(f AS BIGINT) AS n_orders FROM w
+            UNION ALL
+            SELECT o_custkey, 'O', CAST(o AS BIGINT) FROM w
+            UNION ALL
+            SELECT o_custkey, 'P', CAST(p AS BIGINT) FROM w
+        """,
+        "funnel_conversion": """
+            WITH v AS (SELECT user_id,
+                              min(CASE WHEN event_type = 'view' THEN ts END)
+                                  AS t_view
+                       FROM events GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t_click
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND v.t_view IS NOT NULL
+                        AND e.ts > v.t_view
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                  GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM v) AS n_users,
+                   (SELECT count(t_view) FROM v) AS reached_view,
+                   (SELECT count(*) FROM c) AS reached_click,
+                   (SELECT count(*) FROM p) AS reached_purchase
         """,
         "trailing_window_revenue": """
             WITH b AS (SELECT o_custkey, o_orderkey,

@@ -1080,3 +1080,102 @@ def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p").over(w).cast("double").alias("trailing_30d_revenue"),
         F.count("*").over(w).alias("n_orders_30d"),
     )
+
+
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (§2.6 completeness — the inverse of `pivot_status`): a
+    wide per-customer (F/O/P order-count) projection melted back to
+    long (o_custkey, status, n_orders) rows via the built-in melt/stack
+    expansion.
+
+    The wide side is ONE conditional aggregate (single exchange); the
+    unpivot itself is a narrow Expand — each row fans to 3 rows
+    JVM-side with zero data movement, which is why melt scales freely
+    while its inverse (pivot) needs a domain.  Zero-count cells are
+    kept (explicit 0, not dropped) so the long table is dense and the
+    twin is deterministic.
+    """
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("F"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("O"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("P"),
+    )
+    return wide.unpivot(
+        ids=["o_custkey"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="n_orders",
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, the earliest strictly-ordered
+    view -> click -> purchase chain, and the per-stage reach — the
+    product-analytics conversion query.
+
+    Stage timestamps form a chain of order-constrained minima:
+    t_view = min(view ts), t_click = min(click ts > t_view),
+    t_purchase = min(purchase ts > t_click) — the earliest-qualifying
+    rule, the standard funnel definition.  ONE pass over the raw events
+    collapses each user to (t_view, [click/purchase events]); the later
+    stages are array higher-order functions over that per-user list, so
+    the corpus is read once and never self-joined.  The list holds only
+    the funnel-relevant event types per user — bounded by per-user
+    engagement, the usual funnel-tool assumption; a heavy-hitter user
+    stream would swap the array for one extra filtered aggregate per
+    stage (same semantics, one more exchange each).
+
+    Scale shape: the heavy input collapses at the FIRST aggregate to
+    user grain; two exchanges total (user agg, then the single-row
+    funnel rollup).
+    """
+    ev = _t(spark, sf_dir, "events")
+    # stage 1: earliest view per user
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        t1.alias("t_view"),
+        F.collect_list(
+            F.when(
+                F.col("event_type").isin("click", "purchase"),
+                F.struct("ts", "event_type"),
+            )
+        ).alias("later"),
+    )
+    # stages 2/3 from the (small, per-user) later-event array: earliest
+    # click after t_view, earliest purchase after that click — array
+    # HOFs, no second pass over the raw events
+    click_ts = F.array_min(
+        F.transform(
+            F.filter(
+                "later",
+                lambda s: (s["event_type"] == "click")
+                & (F.col("t_view").isNotNull())
+                & (s["ts"] > F.col("t_view")),
+            ),
+            lambda s: s["ts"],
+        )
+    )
+    staged = per_user.select(
+        "user_id", "t_view", click_ts.alias("t_click"), "later"
+    )
+    purchase_ts = F.array_min(
+        F.transform(
+            F.filter(
+                "later",
+                lambda s: (s["event_type"] == "purchase")
+                & (F.col("t_click").isNotNull())
+                & (s["ts"] > F.col("t_click")),
+            ),
+            lambda s: s["ts"],
+        )
+    )
+    final = staged.select(
+        "user_id", "t_view", "t_click", purchase_ts.alias("t_purchase")
+    )
+    return final.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )

@@ -791,3 +791,36 @@ def test_contamination_check_matches_python_reference(spark):
         assert got[i]["n_shingles"] == len(sh)
         assert got[i]["n_hits"] == hits
         assert abs(got[i]["contamination"] - round(hits / len(sh), 6)) < 1e-12
+
+
+def test_funnel_conversion_order_strictness(spark):
+    """A click BEFORE the first view must not count; a purchase before
+    the qualifying click must not count; the earliest-qualifying rule
+    picks the first valid chain."""
+    from datetime import datetime as dt
+
+    from pgstosrt_spark.operators.relational import funnel_conversion
+
+    t = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: full ordered chain
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click precedes view -> stalls at view
+        (2, t(2), "view"), (2, t(1), "click"),
+        # u3: purchase precedes click -> stalls at click
+        (3, t(1), "view"), (3, t(2), "click"), (3, t(1), "purchase"),
+        # u4: no view at all -> reaches nothing
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    pdf["value"] = 0.0; pdf["event_id"] = range(len(pdf)); pdf["props"] = "{}"
+    df = spark.createDataFrame(pdf)
+    import tempfile
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = funnel_conversion(spark, d).collect()[0]
+    assert got["n_users"] == 4
+    assert got["reached_view"] == 3       # u1, u2, u3
+    assert got["reached_click"] == 2      # u1, u3 (u2's click too early)
+    assert got["reached_purchase"] == 1   # u1 only

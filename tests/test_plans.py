@@ -487,3 +487,22 @@ def test_trailing_range_frame_no_self_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan.upper()
+
+
+def test_unpivot_is_narrow_expand(spark):
+    """Melt must be an Expand over the aggregated wide rows — no join,
+    no extra exchange beyond the one aggregation."""
+    df = rel.unpivot_status_counts(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_single_pass_no_self_join(spark):
+    """The funnel reads events ONCE: one user-grain aggregate, array
+    HOFs for the later stages, no join back to the raw events."""
+    df = rel.funnel_conversion(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
