@@ -330,11 +330,12 @@ def _finalize(
         "settle_spread": SETTLE_SPREAD,
         "rejected": rejected,
         "under_sampled": sorted(degraded),
-        # settled = reached its clean-count target with <10% spread; an
-        # unsettled-but-not-under_sampled query met min_clean but its clean
-        # samples still disagree — the record stays the min over ALL
-        # samples either way (the rule above); this label only marks that
-        # the clean evidence has not mutually confirmed it yet
+        # settled = the fastest `target` clean samples agree within the
+        # settle spread (slower clean samples are honest slower windows,
+        # not disconfirmation); an unsettled-but-not-under_sampled query
+        # met min_clean but its fastest clean samples still disagree —
+        # the record stays the min over ALL samples either way (the rule
+        # above); this label only marks unconfirmed clean evidence
         "unsettled": sorted(
             name
             for name, ss in samples.items()
